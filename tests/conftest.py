@@ -1,0 +1,22 @@
+"""Test configuration: force CPU with 8 virtual devices so the mesh /
+data-parallel paths are exercised without TPU hardware (SURVEY.md §4).
+
+Note: this image's sitecustomize registers an `axon` TPU backend whenever
+PALLAS_AXON_POOL_IPS is set; tests must run on local CPU, so we both clear
+that and pin jax_platforms before any backend initializes.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass

@@ -1,0 +1,494 @@
+""".pth → Flax params converter (SURVEY.md §5.4, §7 step 1).
+
+Maps the reference's torch ``state_dict`` checkpoints (bare weight dicts,
+reference: utils/utils_fit.py:164-172) onto our Flax variable trees, so the
+bundled competition weights (model_data/result_model/*.pth,
+Submit_result/model.pth) produce pixel-identical masks through this stack.
+
+Layout rules:
+- conv:      torch OIHW → flax HWIO  (transpose 2,3,1,0 — also correct for
+             grouped and depthwise convs)
+- linear:    torch (out,in) → flax (in,out)
+- batchnorm: weight/bias → scale/bias (params); running_mean/var → mean/var
+             (batch_stats)
+
+Uses torch (CPU) only to deserialize the pickle; everything downstream is
+numpy/JAX.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+Params = Dict[str, dict]
+Stats = Dict[str, dict]
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    # EarlyStopping checkpoints wrap the weights (utils/callbacks.py:129-134)
+    if "model_state_dict" in sd:
+        sd = sd["model_state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy())
+            for k, v in sd.items() if "num_batches_tracked" not in k}
+
+
+# ---------------------------------------------------------------------------
+# leaf converters
+# ---------------------------------------------------------------------------
+
+class _SD:
+    """State-dict view that tracks which keys were consumed."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        self.sd = sd
+        self.used = set()
+
+    def __call__(self, key: str) -> np.ndarray:
+        self.used.add(key)
+        return self.sd[key]
+
+    def has(self, key: str) -> bool:
+        return key in self.sd
+
+    def unused(self):
+        return sorted(set(self.sd) - self.used)
+
+
+def conv(sd: _SD, p: str) -> dict:
+    out = {"kernel": sd(f"{p}.weight").transpose(2, 3, 1, 0)}
+    if sd.has(f"{p}.bias"):
+        out["bias"] = sd(f"{p}.bias")
+    return out
+
+
+def dense(sd: _SD, p: str) -> dict:
+    out = {"kernel": sd(f"{p}.weight").T}
+    if sd.has(f"{p}.bias"):
+        out["bias"] = sd(f"{p}.bias")
+    return out
+
+
+def bn(sd: _SD, p: str) -> Tuple[dict, dict]:
+    return ({"scale": sd(f"{p}.weight"), "bias": sd(f"{p}.bias")},
+            {"mean": sd(f"{p}.running_mean"), "var": sd(f"{p}.running_var")})
+
+
+class _Tree:
+    """Accumulates params + batch_stats subtrees."""
+
+    def __init__(self):
+        self.params: Params = {}
+        self.stats: Stats = {}
+
+    def put(self, path: str, params: dict, stats: dict | None = None):
+        def insert(root, p, leaf):
+            parts = p.split("/")
+            for part in parts[:-1]:
+                root = root.setdefault(part, {})
+            root[parts[-1]] = leaf
+
+        insert(self.params, path, params)
+        if stats:
+            insert(self.stats, path, stats)
+
+    def conv(self, sd, torch_key, path):
+        self.put(path, conv(sd, torch_key))
+
+    def dense(self, sd, torch_key, path):
+        self.put(path, dense(sd, torch_key))
+
+    def bn(self, sd, torch_key, path):
+        p, s = bn(sd, torch_key)
+        self.put(path, p, s)
+
+    def variables(self) -> dict:
+        out = {"params": self.params}
+        if self.stats:
+            out["batch_stats"] = self.stats
+        return out
+
+
+# ---------------------------------------------------------------------------
+# block converters (torch prefix → flax path)
+# ---------------------------------------------------------------------------
+
+def light_conv_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    """LightConvBlock: conv.0→reduce, conv.1→bn1, conv.3→dw, conv.4→bn2."""
+    t.conv(sd, f"{tp}.conv.0", f"{fp}/reduce")
+    t.bn(sd, f"{tp}.conv.1", f"{fp}/bn1")
+    t.conv(sd, f"{tp}.conv.3.depthwise", f"{fp}/dw/depthwise")
+    t.conv(sd, f"{tp}.conv.3.pointwise", f"{fp}/dw/pointwise")
+    t.bn(sd, f"{tp}.conv.4", f"{fp}/bn2")
+
+
+def se_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    """SE (Linear flavor): fc.0→fc1, fc.2→fc2."""
+    t.dense(sd, f"{tp}.fc.0", f"{fp}/fc1")
+    t.dense(sd, f"{tp}.fc.2", f"{fp}/fc2")
+
+
+def double_conv(t: _Tree, sd: _SD, tp: str, fp: str):
+    """DoubleConv: double_conv.{0,1,3,4} → conv1/bn1/conv2/bn2."""
+    t.conv(sd, f"{tp}.double_conv.0", f"{fp}/conv1")
+    t.bn(sd, f"{tp}.double_conv.1", f"{fp}/bn1")
+    t.conv(sd, f"{tp}.double_conv.3", f"{fp}/conv2")
+    t.bn(sd, f"{tp}.double_conv.4", f"{fp}/bn2")
+
+
+def conv_bn_relu(t: _Tree, sd: _SD, tp: str, fp: str):
+    """ConvBlock: conv.0→conv, conv.1→bn."""
+    t.conv(sd, f"{tp}.conv.0", f"{fp}/conv")
+    t.bn(sd, f"{tp}.conv.1", f"{fp}/bn")
+
+
+def residual_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    t.conv(sd, f"{tp}.conv1", f"{fp}/conv1")
+    t.bn(sd, f"{tp}.bn1", f"{fp}/bn1")
+    t.conv(sd, f"{tp}.conv2", f"{fp}/conv2")
+    t.bn(sd, f"{tp}.bn2", f"{fp}/bn2")
+    se_block(t, sd, f"{tp}.se", f"{fp}/se")
+
+
+def dw_sep_bn(t: _Tree, sd: _SD, tp: str, fp: str):
+    """DWSeparableBNReLU: depthwise/pointwise/bn."""
+    t.conv(sd, f"{tp}.depthwise", f"{fp}/depthwise")
+    t.conv(sd, f"{tp}.pointwise", f"{fp}/pointwise")
+    t.bn(sd, f"{tp}.bn", f"{fp}/bn")
+
+
+def dw_conv_bn(t: _Tree, sd: _SD, tp: str, fp: str):
+    """DWConvBNReLU (bias-free SegNets flavor) — same key layout."""
+    dw_sep_bn(t, sd, tp, fp)
+
+
+def stdc_block(t: _Tree, sd: _SD, tp: str, fp: str, has_skip: bool):
+    dw_sep_bn(t, sd, f"{tp}.conv1", f"{fp}/conv1")
+    dw_sep_bn(t, sd, f"{tp}.conv2", f"{fp}/conv2")
+    if has_skip:
+        dw_sep_bn(t, sd, f"{tp}.skip", f"{fp}/skip")
+    se_block(t, sd, f"{tp}.se", f"{fp}/se")
+
+
+def decoder_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    dw_sep_bn(t, sd, f"{tp}.conv.0", f"{fp}/conv1")
+    dw_sep_bn(t, sd, f"{tp}.conv.1", f"{fp}/conv2")
+    se_block(t, sd, f"{tp}.se", f"{fp}/se")
+
+
+def multiscale_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    t.conv(sd, f"{tp}.reduce", f"{fp}/reduce")
+    dw_conv_bn(t, sd, f"{tp}.branch1", f"{fp}/branch1")
+    dw_conv_bn(t, sd, f"{tp}.branch2.0", f"{fp}/branch2a")
+    dw_conv_bn(t, sd, f"{tp}.branch2.1", f"{fp}/branch2b")
+
+
+def channel_attention(t: _Tree, sd: _SD, tp: str, fp: str):
+    t.dense(sd, f"{tp}.shared_mlp.0", f"{fp}/fc1")
+    t.dense(sd, f"{tp}.shared_mlp.2", f"{fp}/fc2")
+
+
+def efficient_decoder_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    dw_conv_bn(t, sd, f"{tp}.conv.0", f"{fp}/conv1")
+    dw_conv_bn(t, sd, f"{tp}.conv.1", f"{fp}/conv2")
+    channel_attention(t, sd, f"{tp}.channel_attention", f"{fp}/channel/mlp")
+    t.conv(sd, f"{tp}.spatial_attention.conv", f"{fp}/spatial/attn/conv")
+
+
+def edge_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    t.conv(sd, f"{tp}.conv.0", f"{fp}/conv1")
+    t.bn(sd, f"{tp}.conv.1", f"{fp}/bn1")
+    t.conv(sd, f"{tp}.conv.3", f"{fp}/conv2")
+    t.bn(sd, f"{tp}.conv.4", f"{fp}/bn2")
+
+
+def sk_conv(t: _Tree, sd: _SD, tp: str, fp: str, M: int = 2):
+    for i in range(M):
+        t.conv(sd, f"{tp}.conv.{i}.0", f"{fp}/branch{i}")
+        t.bn(sd, f"{tp}.conv.{i}.1", f"{fp}/branch{i}_bn")
+    t.conv(sd, f"{tp}.fc1.0", f"{fp}/fc1")
+    t.bn(sd, f"{tp}.fc1.1", f"{fp}/fc1_bn")
+    t.conv(sd, f"{tp}.fc2", f"{fp}/fc2")
+
+
+def light_sk_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    t.conv(sd, f"{tp}.conv1.0", f"{fp}/reduce")
+    t.bn(sd, f"{tp}.conv1.1", f"{fp}/bn1")
+    sk_conv(t, sd, f"{tp}.sk_conv", f"{fp}/sk")
+    t.bn(sd, f"{tp}.bn", f"{fp}/bn2")
+
+
+def repvgg_block(t: _Tree, sd: _SD, tp: str, fp: str, identity: bool):
+    t.conv(sd, f"{tp}.conv1", f"{fp}/conv3")
+    t.bn(sd, f"{tp}.bn1", f"{fp}/bn3")
+    t.conv(sd, f"{tp}.conv2", f"{fp}/conv1")
+    t.bn(sd, f"{tp}.bn2", f"{fp}/bn1")
+    if identity:
+        t.bn(sd, f"{tp}.id_bn", f"{fp}/bnid")
+
+
+def repvgg_stem(t: _Tree, sd: _SD, tp: str, fp: str, identity: bool):
+    t.conv(sd, f"{tp}.conv.0", f"{fp}/reduce")
+    t.bn(sd, f"{tp}.conv.1", f"{fp}/bn")
+    repvgg_block(t, sd, f"{tp}.conv.3", f"{fp}/block", identity)
+
+
+def fusion_block(t: _Tree, sd: _SD, tp: str, fp: str):
+    t.conv(sd, f"{tp}.conv1x1", f"{fp}/fuse")
+    se_block(t, sd, f"{tp}.se", f"{fp}/se")
+
+
+def unet_up(t: _Tree, sd: _SD, tp: str, fp: str):
+    t.conv(sd, f"{tp}.conv1", f"{fp}/conv1")
+    t.conv(sd, f"{tp}.conv2", f"{fp}/conv2")
+
+
+# ---------------------------------------------------------------------------
+# model converters
+# ---------------------------------------------------------------------------
+
+def _ladder_light(sd: _SD, se: bool, block=light_conv_block) -> _Tree:
+    """Shared converter for the UltraLightweight family / SK / RepVGG
+    (torch attribute names enc1..4, se1..4, bridge, dec4..1, final)."""
+    t = _Tree()
+    for i in range(1, 5):
+        block(t, sd, f"enc{i}", f"enc{i}")
+        if se:
+            se_block(t, sd, f"se{i}", f"se{i}")
+    block(t, sd, "bridge", "bridge")
+    for i in range(4, 0, -1):
+        block(t, sd, f"dec{i}", f"dec{i}")
+    t.conv(sd, "final", "final")
+    return t
+
+
+def convert_ultralight(sd_raw, se: bool = False) -> dict:
+    sd = _SD(sd_raw)
+    t = _ladder_light(sd, se)
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_sk_ultralight(sd_raw) -> dict:
+    sd = _SD(sd_raw)
+    t = _ladder_light(sd, se=True, block=light_sk_block)
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_repvgg_segnet(sd_raw) -> dict:
+    sd = _SD(sd_raw)
+
+    def block(t, s, tp, fp):
+        # identity branch exists iff in==out for the RepVGG block; detectable
+        # from the checkpoint itself
+        identity = s.has(f"{tp}.conv.3.id_bn.weight")
+        repvgg_stem(t, s, tp, fp, identity)
+
+    t = _ladder_light(sd, se=True, block=block)
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_traditional(sd_raw) -> dict:
+    sd = _SD(sd_raw)
+    t = _Tree()
+    double_conv(t, sd, "inc", "inc")
+    for i in (1, 2, 3):
+        double_conv(t, sd, f"down{i}.maxpool_conv.1", f"down{i}/conv")
+        double_conv(t, sd, f"up{i}.conv", f"up{i}/conv")
+    t.conv(sd, "outc", "outc")
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_lightweight(sd_raw) -> dict:
+    sd = _SD(sd_raw)
+    t = _Tree()
+    for i in range(1, 6):
+        conv_bn_relu(t, sd, f"backbone.stage{i}.0", f"stage{i}/conv")
+        residual_block(t, sd, f"backbone.stage{i}.1", f"stage{i}/res")
+    for i in range(4, 0, -1):
+        conv_bn_relu(t, sd, f"up_concat{i}.conv.0", f"up_concat{i}/conv")
+        residual_block(t, sd, f"up_concat{i}.conv.1", f"up_concat{i}/res")
+    conv_bn_relu(t, sd, "final_conv.0", "final_conv")
+    residual_block(t, sd, "final_conv.2", "final_res")
+    t.conv(sd, "final_conv.3", "final")
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_improved_ultralight(sd_raw) -> dict:
+    sd = _SD(sd_raw)
+    t = _Tree()
+    for i in range(1, 5):
+        light_conv_block(t, sd, f"enc{i}", f"enc{i}/conv")
+        se_block(t, sd, f"enc{i}.se", f"enc{i}/se")
+        fusion_block(t, sd, f"fusion{i}", f"fusion{i}")
+        light_conv_block(t, sd, f"dec{i}", f"dec{i}/conv")
+        se_block(t, sd, f"dec{i}.se", f"dec{i}/se")
+    light_conv_block(t, sd, "bridge", "bridge/conv")
+    se_block(t, sd, "bridge.se", "bridge/se")
+    for i in (4, 3, 2):
+        t.conv(sd, f"aux_out{i}", f"aux_out{i}")
+    t.conv(sd, "final", "final")
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_hybrid(sd_raw) -> dict:
+    sd = _SD(sd_raw)
+    t = _Tree()
+    prev = 3
+    for i, c in zip(range(1, 5), (32, 64, 128, 256)):
+        stdc_block(t, sd, f"enc{i}", f"enc{i}", has_skip=prev != c)
+        prev = c
+    stdc_block(t, sd, "bridge", "bridge", has_skip=True)
+    for i in (4, 3, 2, 1):
+        decoder_block(t, sd, f"dec{i}", f"dec{i}")
+    dw_sep_bn(t, sd, "final_conv.0", "final_dw")
+    t.conv(sd, "final_conv.1", "final")
+    _check_consumed(sd)
+    return t.variables()
+
+
+def _convert_balanced_encoder(t: _Tree, sd: _SD, base: str = ""):
+    tb = base and base + "."
+    fb = base and base + "/"
+    for i in range(1, 5):
+        multiscale_block(t, sd, f"{tb}enc{i}", f"{fb}enc{i}")
+    multiscale_block(t, sd, f"{tb}bridge.0", f"{fb}bridge")
+
+
+def convert_balancedseg(sd_raw) -> dict:
+    sd = _SD(sd_raw)
+    t = _Tree()
+    _convert_balanced_encoder(t, sd)
+    for i in range(1, 5):
+        se_block(t, sd, f"enc{i}_se", f"enc{i}_se")
+    for i in (4, 3, 2, 1):
+        efficient_decoder_block(t, sd, f"dec{i}", f"dec{i}")
+        t.conv(sd, f"dec{i}_spa.conv", f"dec{i}_spa/attn/conv")
+    dw_conv_bn(t, sd, "final_conv.0", "final_conv")
+    t.conv(sd, "final_conv.1", "final")
+    t.conv(sd, "aux_head", "aux_head")
+    # CBAM + edge_enhancement exist in the torch tree but are unused in
+    # forward (nets/SegNets.py:610,638-641) — deliberately dropped.
+    for k in list(sd.sd):
+        if k.startswith(("enc1_cbam", "enc2_cbam", "enc3_cbam", "enc4_cbam",
+                         "edge_enhancement")):
+            sd.used.add(k)
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_balancedseg_fpn(sd_raw, supervision: bool = False) -> dict:
+    sd = _SD(sd_raw)
+    t = _Tree()
+    enc = _Tree()
+    _convert_balanced_encoder(enc, sd)
+    t.params["body"] = {"encoder": enc.params}
+    t.stats["body"] = {"encoder": enc.stats}
+    b = "body"
+    for i in range(1, 5):
+        t.conv(sd, f"lateral{i}", f"{b}/lateral{i}")
+    for i in (4, 3, 2, 1):
+        efficient_decoder_block(t, sd, f"dec{i}", f"{b}/dec{i}")
+    edge_block(t, sd, "edge_enhancement", f"{b}/edge")
+    dw_conv_bn(t, sd, "final_conv.0", f"{b}/final_conv")
+    t.conv(sd, "final_conv.1", f"{b}/final")
+    if supervision:
+        for i in (1, 2, 3):
+            t.conv(sd, f"aux_output{i}", f"{b}/aux_output{i}")
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_balancedseg_crfs(sd_raw) -> dict:
+    sd = _SD(sd_raw)
+    t = _Tree()
+    enc = _Tree()
+    _convert_balanced_encoder(enc, sd)
+    t.params["encoder"] = enc.params
+    t.stats["encoder"] = enc.stats
+    for i in (4, 3, 2, 1):
+        efficient_decoder_block(t, sd, f"dec{i}", f"dec{i}")
+        for leaf in ("theta", "phi", "g"):
+            t.conv(sd, f"crfs_att{i}.conv_{leaf}", f"crfs{i}/{leaf}")
+        t.conv(sd, f"crfs_att{i}.conv_attn", f"crfs{i}/attn")
+    edge_block(t, sd, "edge_enhancement", "edge")
+    dw_conv_bn(t, sd, "final_conv.0", "final_conv")
+    t.conv(sd, "final_conv.1", "final")
+    _check_consumed(sd)
+    return t.variables()
+
+
+def convert_unet(sd_raw, backbone: str = "vgg", force_up_conv: bool = False) -> dict:
+    sd = _SD(sd_raw)
+    t = _Tree()
+    if backbone == "vgg":
+        vgg_key = "vgg"
+        for k in list(sd.sd):
+            if k.startswith("vgg.features."):
+                idx = k.split(".")[2]
+                t.conv(sd, f"vgg.features.{idx}", f"vgg/features_{idx}")
+    else:
+        t.conv(sd, "resnet.conv1", "resnet/conv1")
+        t.bn(sd, "resnet.bn1", "resnet/bn1")
+        for li, blocks in enumerate((3, 4, 6, 3), start=1):
+            for bi in range(blocks):
+                tp = f"resnet.layer{li}.{bi}"
+                fp = f"resnet/layer{li}_{bi}"
+                for ci in (1, 2, 3):
+                    t.conv(sd, f"{tp}.conv{ci}", f"{fp}/conv{ci}")
+                    t.bn(sd, f"{tp}.bn{ci}", f"{fp}/bn{ci}")
+                if sd.has(f"{tp}.downsample.0.weight"):
+                    t.conv(sd, f"{tp}.downsample.0", f"{fp}/downsample_0")
+                    t.bn(sd, f"{tp}.downsample.1", f"{fp}/downsample_1")
+    for i in (4, 3, 2, 1):
+        unet_up(t, sd, f"up_concat{i}", f"up_concat{i}")
+    if backbone == "resnet50" or force_up_conv:
+        t.conv(sd, "up_conv.1", "up_conv_1")
+        t.conv(sd, "up_conv.3", "up_conv_3")
+    t.conv(sd, "final", "final")
+    _check_consumed(sd)
+    return t.variables()
+
+
+def _check_consumed(sd: _SD):
+    leftover = sd.unused()
+    if leftover:
+        raise ValueError(f"unconverted torch keys: {leftover[:10]}"
+                         f"{' …' if len(leftover) > 10 else ''}")
+
+
+CONVERTERS = {
+    "unet_vgg": lambda sd: convert_unet(sd, "vgg"),
+    "unet_resnet50": lambda sd: convert_unet(sd, "resnet50"),
+    "self_net": lambda sd: convert_unet(sd, "vgg", force_up_conv=True),
+    "traditional": convert_traditional,
+    "traditional22": convert_traditional,
+    "lightweight": convert_lightweight,
+    "ultralight": lambda sd: convert_ultralight(sd, se=False),
+    "ultralight_large": lambda sd: convert_ultralight(sd, se=True),
+    "ultralight_large_optimized": lambda sd: convert_ultralight(sd, se=True),
+    "ultralight44": lambda sd: convert_ultralight(sd, se=True),
+    "improved_ultralight": convert_improved_ultralight,
+    "sk_ultralight": convert_sk_ultralight,
+    "repvgg_segnet": convert_repvgg_segnet,
+    "hybrid_efficientseg": convert_hybrid,
+    "balancedseg": convert_balancedseg,
+    "balancedseg_fpn": lambda sd: convert_balancedseg_fpn(sd, False),
+    "balancedseg_fpn_sup": lambda sd: convert_balancedseg_fpn(sd, True),
+    "balancedseg_crfs": convert_balancedseg_crfs,
+}
+
+
+def convert_pth(path: str, model_name: str) -> dict:
+    """Load a reference .pth checkpoint and return Flax variables."""
+    if model_name not in CONVERTERS:
+        raise KeyError(f"no converter for {model_name!r}")
+    return CONVERTERS[model_name](load_state_dict(path))

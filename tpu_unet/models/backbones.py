@@ -1,0 +1,93 @@
+"""Feature-pyramid encoders: VGG16 and ResNet50, NHWC Flax.
+
+Parity targets:
+- VGG16 cfg 'D' (no BN) returning 5 pyramid features via layer slicing
+  (reference: nets/vgg.py:26-31,62-64); channels 64/128/256/512/512 at
+  strides 1/2/4/8/16.
+- ResNet50 with ceil_mode maxpool tweak (reference: nets/resnet.py:100-185);
+  channels 64/256/512/1024/2048 at strides 2/4/8/16/32.
+
+Submodule names mirror the torch state-dict paths ('.'→'_') so the
+.pth→params converter (tpu_unet/infer/convert.py) is purely mechanical.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+
+from tpu_unet.nn.blocks import batch_norm, conv, max_pool2, max_pool_ceil
+
+# cfg 'D' (reference: nets/vgg.py:59): torch nn.Sequential indices of convs
+_VGG_CONVS = [
+    (0, 64), (2, 64),
+    (5, 128), (7, 128),
+    (10, 256), (12, 256), (14, 256),
+    (17, 512), (19, 512), (21, 512),
+    (24, 512), (26, 512), (28, 512),
+]
+# feature cut points: pool before these conv indices (torch indices 4,9,16,23)
+_VGG_STAGES = [[0, 2], [5, 7], [10, 12, 14], [17, 19, 21], [24, 26, 28]]
+
+
+class VGG16(nn.Module):
+    """5-stage VGG16 feature pyramid (reference: nets/vgg.py:26-31)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # no BN in cfg 'D'
+        widths = dict(_VGG_CONVS)
+        feats = []
+        for si, stage in enumerate(_VGG_STAGES):
+            if si > 0:
+                x = max_pool2(x)
+            for ci in stage:
+                x = nn.relu(conv(widths[ci], 3, name=f"features_{ci}")(x))
+            feats.append(x)
+        return feats
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce → 3x3 (stride) → 1x1 expand(×4), residual
+    (reference: nets/resnet.py:55-97)."""
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = conv(self.planes, 1, use_bias=False, name="conv1")(x)
+        y = nn.relu(batch_norm(train, "bn1")(y))
+        y = conv(self.planes, 3, self.stride, use_bias=False, name="conv2")(y)
+        y = nn.relu(batch_norm(train, "bn2")(y))
+        y = conv(self.planes * 4, 1, use_bias=False, name="conv3")(y)
+        y = batch_norm(train, "bn3")(y)
+        if self.has_downsample:
+            identity = conv(self.planes * 4, 1, self.stride, use_bias=False,
+                            name="downsample_0")(x)
+            identity = batch_norm(train, "downsample_1")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet50(nn.Module):
+    """5-stage ResNet50 feature pyramid (reference: nets/resnet.py:100-185)."""
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv(64, 7, 2, padding=3, use_bias=False, name="conv1")(x)
+        feat1 = nn.relu(batch_norm(train, "bn1")(x))
+        # maxpool k3 s2 pad0 ceil_mode=True (reference: nets/resnet.py:113)
+        x = max_pool_ceil(feat1, 3, 2)
+        feats = [feat1]
+        inplanes = 64
+        for li, (blocks, planes) in enumerate(zip(self.layers, (64, 128, 256, 512))):
+            stride = 1 if li == 0 else 2
+            for bi in range(blocks):
+                s = stride if bi == 0 else 1
+                ds = bi == 0 and (s != 1 or inplanes != planes * 4)
+                x = Bottleneck(planes, s, ds, name=f"layer{li + 1}_{bi}")(x, train)
+                inplanes = planes * 4
+            feats.append(x)
+        return feats

@@ -1,0 +1,63 @@
+"""Canonical UNet: VGG16 / ResNet50 encoder + UnetUp decoder.
+
+Parity target: nets/unet.py:24-94 (class Unet) and self_net().py:23-72
+(Unet_vgg / self_net — the VGG variant that always applies the ×2 up_conv
+head).  Output = raw logits NHWC at input resolution for VGG, and after the
+extra ×2 up_conv for ResNet50.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+
+from tpu_unet.models.backbones import VGG16, ResNet50
+from tpu_unet.nn.blocks import UnetUp, conv
+from tpu_unet.nn.resize import upsample2x
+
+# decoder concat widths (reference: nets/unet.py:27-35)
+_OUT_FILTERS = (64, 128, 256, 512)
+
+
+class Unet(nn.Module):
+    """The canonical segmentation UNet (reference: nets/unet.py:24-94)."""
+    num_classes: int = 21
+    backbone: str = "vgg"
+    # Unet_vgg/self_net (self_net().py:36-42) = vgg backbone + forced up_conv
+    force_up_conv: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.backbone == "vgg":
+            feats = VGG16(name="vgg")(x, train)
+        elif self.backbone == "resnet50":
+            feats = ResNet50(name="resnet")(x, train)
+        else:
+            raise ValueError(
+                f"Unsupported backbone `{self.backbone}`, use vgg or resnet50."
+            )
+        feat1, feat2, feat3, feat4, feat5 = feats
+
+        up4 = UnetUp(_OUT_FILTERS[3], name="up_concat4")(feat4, feat5, train)
+        up3 = UnetUp(_OUT_FILTERS[2], name="up_concat3")(feat3, up4, train)
+        up2 = UnetUp(_OUT_FILTERS[1], name="up_concat2")(feat2, up3, train)
+        up1 = UnetUp(_OUT_FILTERS[0], name="up_concat1")(feat1, up2, train)
+
+        if self.backbone == "resnet50" or self.force_up_conv:
+            # extra ×2 upsample head (reference: nets/unet.py:47-54)
+            up1 = upsample2x(up1)
+            up1 = nn.relu(conv(_OUT_FILTERS[0], 3, name="up_conv_1")(up1))
+            up1 = nn.relu(conv(_OUT_FILTERS[0], 3, name="up_conv_3")(up1))
+
+        return conv(self.num_classes, 1, name="final")(up1)
+
+
+def unet_vgg(num_classes: int = 21) -> Unet:
+    return Unet(num_classes=num_classes, backbone="vgg")
+
+
+def unet_resnet50(num_classes: int = 21) -> Unet:
+    return Unet(num_classes=num_classes, backbone="resnet50")
+
+
+def self_net(num_classes: int = 21) -> Unet:
+    """Unet_vgg factory (reference: self_net().py:68-71)."""
+    return Unet(num_classes=num_classes, backbone="vgg", force_up_conv=True)
