@@ -1,0 +1,76 @@
+"""Benchmark harness — end-to-end 512×512 inference throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: batched uint8 images → H2D → on-device /255 normalize → flagship
+VGG16-UNet forward (bf16 compute) → softmax → argmax → D2H int8 masks.
+This is the reference's get_FPS measurement (unet.py:205-258: forward +
+softmax + argmax + D2H) batched and with preprocessing on device, at the
+BASELINE.md north-star shape (512×512).
+
+vs_baseline: north star is ≥5000 img/s on a v5e-8 ⇒ 625 img/s/chip
+(BASELINE.md #8); value/625 ≥ 1.0 means the per-chip share is met.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PER_CHIP = 5000.0 / 8.0
+
+
+def build_forward(batch: int, size: int = 512, num_classes: int = 21):
+    from tpu_unet.models.registry import build_model, init_model
+
+    model = build_model("unet_vgg", num_classes)
+    variables = init_model(model, (size, size))
+    # bf16 compute: cast params once; BN stats stay f32
+    variables = {
+        "params": jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), variables["params"]),
+        **{k: v for k, v in variables.items() if k != "params"},
+    }
+
+    @jax.jit
+    def step(variables, imgs_u8):
+        x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        logits = model.apply(variables, x, False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    return step, variables
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    size = 512
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, size=(batch, size, size, 3)).astype(np.uint8)
+
+    step, variables = build_forward(batch, size)
+    masks = np.asarray(step(variables, imgs))  # compile + warmup
+    assert masks.shape == (batch, size, size)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        masks = np.asarray(step(variables, imgs))
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+
+    n_chips = max(jax.device_count(), 1)
+    per_chip = ips / n_chips
+    print(json.dumps({
+        "metric": "unet_vgg_512px_e2e_inference",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,10 +32,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place a pytree of host arrays on the mesh, batch-dim sharded."""
+    """Place a pytree of host arrays on the mesh, batch-dim sharded.
+
+    Single-process: a plain device_put suffices.  Multi-host: each process
+    holds only its local slice, so the global array is assembled with
+    ``make_array_from_process_local_data`` (the per-host data sharding that
+    replaces DistributedSampler, reference: train.py:424-428).
+    """
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+        )
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
     )
 
 

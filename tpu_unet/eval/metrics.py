@@ -32,7 +32,9 @@ def confusion_matrix(gt, pred, num_classes: int):
     og = jax.nn.one_hot(g, num_classes + 1, dtype=jnp.float32)[:, :num_classes]
     op = jax.nn.one_hot(jnp.clip(pred, 0, num_classes - 1), num_classes,
                         dtype=jnp.float32)
-    return jnp.einsum("pc,pk->ck", og, op).astype(jnp.int64)
+    # per-call counts are ≤ H·W (< 2^24), exact in f32; host accumulation
+    # of many calls uses numpy int64
+    return jnp.einsum("pc,pk->ck", og, op).astype(jnp.int32)
 
 
 def per_class_iou(hist):

@@ -1,0 +1,246 @@
+"""The ``Unet`` inference wrapper — the reference's public API, TPU-backed.
+
+Parity target: unet.py:22-344 (class Unet) and its per-variant _config
+clones (TraditionalUnet_config.py etc. — byte-level copies that swap the
+model class; here that's just the ``model`` key).
+
+The ``_defaults`` dict keys and semantics are preserved (README.md:74-105):
+``model_path, num_classes, backbone, input_shape, mix_type (blend), cuda``.
+``model`` selects any registry architecture (the <Variant>_config mechanism);
+``backbone`` keeps its canonical-UNet meaning.
+
+Pipeline (reference: unet.py:101-203): cvtColor → BICUBIC letterbox on gray
+canvas → /255 → jitted forward+softmax on TPU → crop gray bars → bilinear
+prob-map resize to the original size (cv2 INTER_LINEAR semantics) → argmax →
+palette / blend / background-removal rendering.  The forward+softmax runs as
+one compiled XLA graph; per-image crop/resize happens on host because
+original sizes are dynamic (the fixed-shape batched path used for
+benchmarks lives in ``batch_infer``).
+"""
+from __future__ import annotations
+
+import colorsys
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from tpu_unet.data.transforms import cvt_rgb
+from tpu_unet.models.registry import MODELS, build_model
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+# VOC 21-color palette + gray (reference: unet.py:67-71)
+VOC_COLORS = [
+    (0, 0, 0), (128, 0, 0), (0, 128, 0), (128, 128, 0), (0, 0, 128),
+    (128, 0, 128), (0, 128, 128), (128, 128, 128), (64, 0, 0), (192, 0, 0),
+    (64, 128, 0), (192, 128, 0), (64, 0, 128), (192, 0, 128), (64, 128, 128),
+    (192, 128, 128), (0, 64, 0), (128, 64, 0), (0, 192, 0), (128, 192, 0),
+    (0, 64, 128), (128, 64, 12),
+]
+
+
+def _letterbox_image(image: Image.Image, size):
+    """reference: utils/utils.py:22-34 — returns (letterboxed, nw, nh)."""
+    w, h = size[1], size[0]
+    iw, ih = image.size
+    scale = min(w / iw, h / ih)
+    nw, nh = int(iw * scale), int(ih * scale)
+    resized = image.resize((nw, nh), Image.BICUBIC)
+    canvas = Image.new("RGB", (w, h), (128, 128, 128))
+    canvas.paste(resized, ((w - nw) // 2, (h - nh) // 2))
+    return canvas, nw, nh
+
+
+class Unet:
+    _defaults = {
+        "model_path": "",
+        "num_classes": 21,
+        "backbone": "vgg",
+        "input_shape": [512, 512],
+        "mix_type": 0,
+        "cuda": True,          # accepted for API parity; TPU placement is
+                               # automatic under jit
+        "model": None,         # registry name; None → canonical unet_<backbone>
+    }
+
+    @classmethod
+    def get_defaults(cls, n):
+        """reference: unet.py:374-379."""
+        if n in cls._defaults:
+            return cls._defaults[n]
+        return f"Unrecognized attribute name '{n}'"
+
+    def __init__(self, **kwargs):
+        self.__dict__.update(self._defaults)
+        for name, value in kwargs.items():
+            setattr(self, name, value)
+            self._defaults[name] = value
+        if self.num_classes <= 21:
+            self.colors = list(VOC_COLORS)
+        else:
+            hsv = [(x / self.num_classes, 1.0, 1.0)
+                   for x in range(self.num_classes)]
+            self.colors = [tuple(int(c * 255) for c in colorsys.hsv_to_rgb(*t))
+                           for t in hsv]
+        self.generate()
+
+    # ------------------------------------------------------------------
+    def _model_name(self) -> str:
+        if self.model:
+            return self.model
+        name = f"unet_{self.backbone}"
+        if name not in MODELS:
+            raise ValueError(f"unknown backbone {self.backbone!r}")
+        return name
+
+    def generate(self, onnx: bool = False):
+        """Build the net and load weights (reference: unet.py:86-96)."""
+        name = self._model_name()
+        self.net = build_model(name, self.num_classes)
+        if self.model_path:
+            from tpu_unet.train.checkpoint import load_any
+
+            try:
+                self.variables = load_any(self.model_path, name)
+            except KeyError as e:
+                raise ValueError(
+                    f"checkpoint {self.model_path!r} does not match model "
+                    f"{name!r} (missing torch key {e})") from e
+            print(f"{self.model_path} model, and classes loaded.")
+        else:
+            from tpu_unet.models.registry import init_model
+
+            self.variables = init_model(self.net, tuple(self.input_shape))
+
+        model = self.net
+
+        @jax.jit
+        def forward_probs(variables, x):
+            logits = model.apply(variables, x, False)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            logits = logits.astype(jnp.float32)
+            # models whose raw logits aren't at input resolution (lightweight
+            # ×0.5, self_net ×2) are resized as the reference losses do
+            if logits.shape[1:3] != x.shape[1:3]:
+                from tpu_unet.nn.resize import resize_bilinear
+
+                logits = resize_bilinear(logits, x.shape[1:3],
+                                         align_corners=True)
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._forward_probs = forward_probs
+
+    # ------------------------------------------------------------------
+    def _probs_for(self, image: Image.Image):
+        image = cvt_rgb(image)
+        boxed, nw, nh = _letterbox_image(image, self.input_shape)
+        x = np.asarray(boxed, np.float32)[None] / 255.0
+        pr = np.asarray(self._forward_probs(self.variables, x)[0])
+        # crop the gray letterbox bars (reference: unet.py:139-140)
+        oh, ow = self.input_shape
+        pr = pr[(oh - nh) // 2:(oh - nh) // 2 + nh,
+                (ow - nw) // 2:(ow - nw) // 2 + nw]
+        return pr, image
+
+    def _resize_probs(self, pr, orig_w, orig_h):
+        """cv2 INTER_LINEAR prob-map resize (reference: unet.py:144)."""
+        if cv2 is not None:
+            return cv2.resize(pr, (orig_w, orig_h),
+                              interpolation=cv2.INTER_LINEAR)
+        from tpu_unet.nn.resize import resize_bilinear
+
+        return np.asarray(resize_bilinear(pr, (orig_h, orig_w),
+                                          align_corners=False))
+
+    def detect_image(self, image: Image.Image, count: bool = False,
+                     name_classes=None) -> Image.Image:
+        """reference: unet.py:101-203."""
+        old_img = image.copy()
+        orig_w, orig_h = image.size
+        pr, image = self._probs_for(image)
+        pr = self._resize_probs(pr, orig_w, orig_h)
+        mask = pr.argmax(axis=-1)
+
+        if count:
+            classes_nums = np.zeros(self.num_classes, np.int64)
+            total = orig_h * orig_w
+            print("-" * 63)
+            print("|%25s | %15s | %15s|" % ("Key", "Value", "Ratio"))
+            print("-" * 63)
+            for i in range(self.num_classes):
+                num = int((mask == i).sum())
+                ratio = num / total * 100
+                if num > 0:
+                    name = name_classes[i] if name_classes else str(i)
+                    print("|%25s | %15s | %14.2f%%|" % (name, num, ratio))
+                    print("-" * 63)
+                classes_nums[i] = num
+            print("classes_nums:", classes_nums)
+
+        if self.mix_type == 0:
+            seg = np.asarray(self.colors, np.uint8)[
+                mask.reshape(-1) % len(self.colors)].reshape(orig_h, orig_w, 3)
+            new_img = Image.fromarray(seg)
+            return Image.blend(cvt_rgb(old_img), new_img, 0.7)
+        if self.mix_type == 1:
+            seg = np.asarray(self.colors, np.uint8)[
+                mask.reshape(-1) % len(self.colors)].reshape(orig_h, orig_w, 3)
+            return Image.fromarray(seg)
+        # mix_type 2: background removal (reference: unet.py:196-201)
+        arr = np.asarray(cvt_rgb(old_img))
+        seg = (arr * (mask[..., None] != 0)).astype(np.uint8)
+        return Image.fromarray(seg)
+
+    def get_miou_png(self, image: Image.Image) -> Image.Image:
+        """reference: unet.py:298-344 — class-index PNG at original size."""
+        orig_w, orig_h = image.size
+        pr, _ = self._probs_for(image)
+        pr = self._resize_probs(pr, orig_w, orig_h)
+        return Image.fromarray(pr.argmax(axis=-1).astype(np.uint8))
+
+    def get_FPS(self, image: Image.Image, test_interval: int) -> float:
+        """Timed forward+softmax+D2H+argmax+crop loop
+        (reference: unet.py:205-258)."""
+        image = cvt_rgb(image)
+        boxed, nw, nh = _letterbox_image(image, self.input_shape)
+        x = np.asarray(boxed, np.float32)[None] / 255.0
+
+        def once():
+            pr = np.asarray(self._forward_probs(self.variables, x)[0])
+            oh, ow = self.input_shape
+            pr = pr[(oh - nh) // 2:(oh - nh) // 2 + nh,
+                    (ow - nw) // 2:(ow - nw) // 2 + nw]
+            return pr.argmax(axis=-1)
+
+        once()  # warmup/compile
+        t0 = time.time()
+        for _ in range(test_interval):
+            once()
+        return (time.time() - t0) / test_interval
+
+    # ------------------------------------------------------------------
+    def batch_infer(self, images: np.ndarray) -> np.ndarray:
+        """Fixed-shape batched masks — the TPU throughput path.
+        ``images``: (N, H, W, 3) uint8/float at input_shape; returns
+        (N, H, W) int32 argmax masks, all computed in one XLA graph."""
+        x = np.asarray(images, np.float32)
+        if x.max() > 1.5:
+            x = x / 255.0
+        probs = self._forward_probs(self.variables, x)
+        return np.asarray(jnp.argmax(probs, axis=-1))
+
+    def convert_to_export(self, path: str):
+        """Serialized-StableHLO export — the idiomatic counterpart of
+        convert_to_onnx (reference: unet.py:260-296)."""
+        from tpu_unet.tools.export import export_stablehlo
+
+        return export_stablehlo(self, path)

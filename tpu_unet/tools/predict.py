@@ -1,0 +1,78 @@
+"""Prediction drivers — the predict.py mode dispatcher as functions.
+
+Parity target: predict.py:13-194 (modes: predict, dir_predict, video, fps,
+export).  Script-style mode switching becomes plain functions.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+
+def predict_dir(wrapper, in_dir: str, out_dir: str, save_npy: bool = False,
+                limit: Optional[int] = None):
+    """Batch over a folder, save seg_*.jpg (+ optional .npy prob dumps)
+    (reference: predict.py:77-112, :166-178)."""
+    os.makedirs(out_dir, exist_ok=True)
+    names = sorted(f for f in os.listdir(in_dir)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    if limit:
+        names = names[:limit]
+    for name in names:
+        image = Image.open(os.path.join(in_dir, name))
+        out = wrapper.detect_image(image)
+        out.save(os.path.join(out_dir, "seg_" + os.path.splitext(name)[0] + ".jpg"))
+        if save_npy:
+            png = wrapper.get_miou_png(image)
+            np.save(os.path.join(out_dir, "seg_" + os.path.splitext(name)[0]),
+                    np.asarray(png))
+    return len(names)
+
+
+def predict_video(wrapper, video_path=0, video_save_path: str = "",
+                  video_fps: float = 25.0, max_frames: Optional[int] = None):
+    """Per-frame detect_image with running-average FPS overlay
+    (reference: predict.py:115-159)."""
+    import cv2
+
+    capture = cv2.VideoCapture(video_path)
+    out = None
+    if video_save_path:
+        fourcc = cv2.VideoWriter_fourcc(*"XVID")
+        size = (int(capture.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(capture.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+        out = cv2.VideoWriter(video_save_path, fourcc, video_fps, size)
+    fps = 0.0
+    frames = 0
+    while True:
+        t1 = time.time()
+        ref, frame = capture.read()
+        if not ref:
+            break
+        frame_rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        result = np.array(wrapper.detect_image(Image.fromarray(frame_rgb)))
+        result = cv2.cvtColor(result, cv2.COLOR_RGB2BGR)
+        fps = (fps + (1.0 / max(time.time() - t1, 1e-6))) / 2
+        result = cv2.putText(result, f"fps= {fps:.2f}", (0, 40),
+                             cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 255, 0), 2)
+        if out is not None:
+            out.write(result)
+        frames += 1
+        if max_frames and frames >= max_frames:
+            break
+    capture.release()
+    if out is not None:
+        out.release()
+    return frames, fps
+
+
+def fps_test(wrapper, image_path: str, test_interval: int = 100):
+    """reference: predict.py:161-164."""
+    image = Image.open(image_path)
+    tact = wrapper.get_FPS(image, test_interval)
+    print(f"{tact:.6f} seconds, {1 / tact:.2f} FPS, @batch_size 1")
+    return 1.0 / tact

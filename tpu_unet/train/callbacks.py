@@ -1,0 +1,151 @@
+"""Training callbacks: loss history, periodic mIoU eval, early stopping.
+
+Parity targets (reference: utils/callbacks.py):
+- LossHistory   :175-242 — per-epoch train/val loss → epoch_loss.txt /
+                epoch_val_loss.txt + loss curve PNG (+ TB scalars if
+                tensorboard is importable)
+- EvalCallback  :244-530 — periodic val-set mIoU through the full predict
+                pipeline → epoch_miou.txt + per-class IoU curves.  Ours
+                runs the confusion matrix on device (no PNG round-trip)
+                and takes the data root from config instead of the
+                reference's hardcoded DataB//absolute paths (:381-397).
+- EarlyStopping :30-171 — val-loss plateau halt with best-state restore.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class LossHistory:
+    def __init__(self, log_dir: str):
+        ts = time.strftime("loss_%Y_%m_%d_%H_%M_%S")
+        self.log_dir = os.path.join(log_dir, ts)
+        os.makedirs(self.log_dir, exist_ok=True)
+        self.losses, self.val_losses = [], []
+        self._writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+
+            self._writer = SummaryWriter(self.log_dir)
+        except Exception:
+            pass
+
+    def append(self, epoch: int, loss: float, val_loss: Optional[float] = None):
+        self.losses.append(float(loss))
+        with open(os.path.join(self.log_dir, "epoch_loss.txt"), "a") as f:
+            f.write(f"{loss}\n")
+        if val_loss is not None:
+            self.val_losses.append(float(val_loss))
+            with open(os.path.join(self.log_dir, "epoch_val_loss.txt"), "a") as f:
+                f.write(f"{val_loss}\n")
+        if self._writer is not None:
+            self._writer.add_scalar("loss", loss, epoch)
+            if val_loss is not None:
+                self._writer.add_scalar("val_loss", val_loss, epoch)
+        self.plot()
+
+    def plot(self):
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        n = range(len(self.losses))
+        plt.figure()
+        plt.plot(n, self.losses, "red", linewidth=2, label="train loss")
+        if self.val_losses:
+            plt.plot(n, self.val_losses, "coral", linewidth=2, label="val loss")
+        if len(self.losses) >= 25:
+            try:
+                from scipy.signal import savgol_filter
+
+                num = 5 if len(self.losses) < 25 else 15
+                plt.plot(n, savgol_filter(self.losses, num, 3), "green",
+                         linestyle="--", linewidth=2, label="smooth train loss")
+            except Exception:
+                pass
+        plt.grid(True)
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        plt.legend(loc="upper right")
+        plt.savefig(os.path.join(self.log_dir, "epoch_loss.png"))
+        plt.close("all")
+
+
+class MIoUEvalCallback:
+    """Periodic validation mIoU via the device-side confusion matrix
+    (replaces utils/callbacks.py:378-530's PNG-file round-trip)."""
+
+    def __init__(self, predict_fn, dataset, num_classes: int, log_dir: str,
+                 period: int = 1, max_images: Optional[int] = None):
+        self.predict_fn = predict_fn          # (uint8 HWC image) → int mask
+        self.dataset = dataset
+        self.num_classes = num_classes
+        self.log_dir = log_dir
+        self.period = period
+        self.max_images = max_images
+        self.mious = []
+        os.makedirs(log_dir, exist_ok=True)
+
+    def on_epoch_end(self, epoch: int) -> Optional[float]:
+        if (epoch + 1) % self.period:
+            return None
+        from tpu_unet.eval.metrics import confusion_matrix, per_class_iou
+
+        hist = np.zeros((self.num_classes, self.num_classes), np.int64)
+        n = len(self.dataset)
+        if self.max_images:
+            n = min(n, self.max_images)
+        for i in range(n):
+            img, lbl = self.dataset.__getitem__(i)
+            pred = self.predict_fn(img)
+            hist += np.asarray(confusion_matrix(lbl, pred, self.num_classes))
+        ious = per_class_iou(hist)
+        miou = float(np.nanmean(ious))
+        self.mious.append(miou)
+        with open(os.path.join(self.log_dir, "epoch_miou.txt"), "a") as f:
+            f.write(f"{miou}\n")
+        print(f"epoch {epoch}: val mIoU {100 * miou:.2f} "
+              f"(per-class {[f'{100 * x:.1f}' for x in ious]})")
+        return miou
+
+
+class EarlyStopping:
+    """Val-loss plateau halt (reference: utils/callbacks.py:30-171)."""
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.0,
+                 mode: str = "min"):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.mode = mode
+        self.best = None
+        self.counter = 0
+        self.stopped = False
+        self.best_state = None
+
+    def __call__(self, metric: float, state=None) -> bool:
+        improved = (
+            self.best is None
+            or (self.mode == "min" and metric < self.best - self.min_delta)
+            or (self.mode == "max" and metric > self.best + self.min_delta)
+        )
+        if improved:
+            self.best = metric
+            self.counter = 0
+            if state is not None:
+                self.best_state = state
+        else:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.stopped = True
+        return self.stopped
+
+    def load_best_model(self):
+        """reference: utils/callbacks.py:151-167."""
+        return self.best_state

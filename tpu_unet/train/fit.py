@@ -1,0 +1,237 @@
+"""The full training recipe — the TPU counterpart of train.py:40-506.
+
+One function drives what the reference spreads over train.py,
+<Variant>_Train.py clones and utils/utils_fit.py:
+seed → mesh → model build/init/partial-load → two-phase freeze/unfreeze
+schedule with batch-size & LR recompute at the transition → per-epoch
+cos/step LR → jitted SPMD train/val epochs → callbacks + checkpoints.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_unet.configs.presets import TrainConfig
+from tpu_unet.core.mesh import create_mesh, replicate, shard_batch
+from tpu_unet.data.datasets import (DefectSegDataset, HeavyAugDataset,
+                                    MedicalSegDataset, VOC2007SegDataset,
+                                    VOCSegDataset, read_split)
+from tpu_unet.data.loader import Loader
+from tpu_unet.models.registry import build_model, init_model
+from tpu_unet.train.callbacks import EarlyStopping, LossHistory
+from tpu_unet.train.checkpoint import load_any, partial_load, save_variables
+from tpu_unet.train.schedules import adaptive_lr, get_lr_scheduler
+from tpu_unet.train.step import (FREEZE_PREFIXES, StepConfig, TrainState,
+                                 create_train_state, make_eval_step,
+                                 make_optimizer, make_train_step)
+
+DATASETS = {
+    "voc": VOCSegDataset,
+    "voc2007": VOC2007SegDataset,
+    "medical": MedicalSegDataset,
+    "defect": DefectSegDataset,
+    "heavy": HeavyAugDataset,
+}
+
+
+def reinit_weights(variables: dict, seed: int = 0, init_type: str = "normal",
+                   gain: float = 0.02) -> dict:
+    """weights_init parity (reference: nets/unet_training.py:58-76):
+    conv kernels ~ chosen init, BN scale ~ N(1, 0.02), biases zero."""
+    rng = np.random.RandomState(seed)
+
+    def visit(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if set(v) >= {"scale", "bias"} and "kernel" not in v:  # BN
+                    out[k] = dict(v)
+                    out[k]["scale"] = np.asarray(
+                        rng.normal(1.0, 0.02, np.shape(v["scale"])), np.float32)
+                    out[k]["bias"] = np.zeros_like(np.asarray(v["bias"]))
+                else:
+                    out[k] = visit(v)
+            else:
+                out[k] = v
+        return out
+
+    def init_kernel(shape):
+        if init_type == "normal":
+            return rng.normal(0.0, gain, shape)
+        if init_type == "kaiming":
+            fan_in = int(np.prod(shape[:-1]))
+            return rng.normal(0.0, np.sqrt(2.0 / fan_in), shape)
+        if init_type == "xavier":
+            fan_in = int(np.prod(shape[:-1]))
+            fan_out = int(np.prod(shape[:-2])) * shape[-1]
+            std = gain * np.sqrt(2.0 / (fan_in + fan_out))
+            return rng.normal(0.0, std, shape)
+        raise NotImplementedError(init_type)
+
+    def visit_kernels(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "kernel" in v:
+                    out[k] = dict(v)
+                    kern = np.asarray(v["kernel"])
+                    if kern.ndim == 4:  # conv only, like the reference
+                        out[k]["kernel"] = np.asarray(
+                            init_kernel(kern.shape), np.float32)
+                    if "bias" in v:
+                        out[k]["bias"] = np.zeros_like(np.asarray(v["bias"]))
+                    for kk, vv in v.items():
+                        if kk not in ("kernel", "bias"):
+                            out[k][kk] = vv
+                else:
+                    out[k] = visit_kernels(v)
+            else:
+                out[k] = v
+        return out
+
+    new = dict(variables)
+    new["params"] = visit_kernels(visit(variables["params"]))
+    return new
+
+
+def make_datasets(cfg: TrainConfig, base_dir: str, train_ids, val_ids,
+                  seed: int):
+    ds_cls = DATASETS[cfg.dataset]
+    root = os.path.join(base_dir, cfg.dataset_path) \
+        if not os.path.isabs(cfg.dataset_path) else cfg.dataset_path
+    train_ds = ds_cls(train_ids, cfg.input_shape, cfg.num_classes,
+                      train=True, dataset_path=root, seed=seed)
+    val_ds = ds_cls(val_ids, cfg.input_shape, cfg.num_classes,
+                    train=False, dataset_path=root, seed=seed)
+    return train_ds, val_ds
+
+
+def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
+        mesh=None, max_steps_per_epoch: Optional[int] = None,
+        verbose: bool = True):
+    """Run the full two-phase training; returns the final TrainState."""
+    if mesh is None:
+        mesh = create_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    model = build_model(cfg.model, cfg.num_classes)
+    variables = init_model(model, cfg.input_shape, seed=cfg.seed, train=True)
+    if not cfg.pretrained_backbone and not cfg.model_path:
+        variables = reinit_weights(variables, seed=cfg.seed)
+    if cfg.model_path:
+        loaded = load_any(cfg.model_path, cfg.model)
+        variables = {
+            "params": partial_load(variables["params"],
+                                   loaded.get("params", {}), verbose),
+            "batch_stats": partial_load(variables.get("batch_stats", {}),
+                                        loaded.get("batch_stats", {}), verbose),
+        }
+
+    step_cfg = StepConfig(
+        num_classes=cfg.num_classes,
+        cls_weights=tuple(cfg.resolved_cls_weights()),
+        use_focal=cfg.focal_loss,
+        use_dice=cfg.dice_loss,
+        aux_weights=tuple(cfg.aux_weights),
+        compute_dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32,
+    )
+    train_step = make_train_step(model, step_cfg)
+    eval_step = make_eval_step(model, step_cfg)
+
+    train_ds, val_ds = make_datasets(cfg, base_dir, train_ids, val_ids, cfg.seed)
+    loss_history = LossHistory(cfg.save_dir) if verbose else None
+    stopper = EarlyStopping(cfg.patience) if cfg.patience else None
+    root_key = jax.random.PRNGKey(cfg.seed)
+
+    state = None
+    best_val = np.inf
+    frozen_now = None
+    epoch = cfg.init_epoch
+    while epoch < cfg.unfreeze_epoch:
+        freeze_phase = cfg.freeze_train and epoch < cfg.freeze_epoch
+        if freeze_phase != frozen_now:
+            # (re)build optimizer + LR schedule for this phase
+            # (reference: train.py:389-418, :458-492)
+            frozen_now = freeze_phase
+            batch_size = (cfg.freeze_batch_size if freeze_phase
+                          else cfg.unfreeze_batch_size)
+            init_lr_fit, min_lr_fit = adaptive_lr(
+                cfg.init_lr, cfg.min_lr, batch_size, cfg.optimizer_type)
+            lr_sched = get_lr_scheduler(cfg.lr_decay_type, init_lr_fit,
+                                        min_lr_fit, cfg.unfreeze_epoch)
+            prefixes = FREEZE_PREFIXES.get(cfg.model, ()) if freeze_phase else ()
+            tx = make_optimizer(cfg.optimizer_type, cfg.momentum,
+                                cfg.weight_decay, prefixes)
+            if state is None:
+                state = create_train_state(model, variables, tx)
+            else:
+                state = state.replace(tx=tx, opt_state=tx.init(state.params))
+            state = replicate(state, mesh)
+            train_loader = Loader(train_ds, batch_size, shuffle=True,
+                                  seed=cfg.seed, num_workers=cfg.num_workers,
+                                  process_index=jax.process_index(),
+                                  process_count=jax.process_count())
+            val_loader = Loader(val_ds, batch_size, shuffle=False,
+                                seed=cfg.seed, num_workers=cfg.num_workers,
+                                process_index=jax.process_index(),
+                                process_count=jax.process_count())
+
+        lr = lr_sched(epoch)
+        train_loader.set_epoch(epoch)
+        tloss, tf, nb = 0.0, 0.0, 0
+        for batch in train_loader:
+            batch = shard_batch(batch, mesh)
+            key = jax.random.fold_in(root_key, epoch * 100_003 + nb)
+            state, metrics = train_step(state, batch, lr, key)
+            tloss += float(metrics["loss"])
+            tf += float(metrics["f_score"])
+            nb += 1
+            if max_steps_per_epoch and nb >= max_steps_per_epoch:
+                break
+        tloss /= max(nb, 1)
+
+        vloss, nvb = 0.0, 0
+        if cfg.eval_flag and len(val_ds):
+            for batch in val_loader:
+                batch = shard_batch(batch, mesh)
+                m = eval_step(state, batch)
+                vloss += float(m["val_loss"])
+                nvb += 1
+                if max_steps_per_epoch and nvb >= max_steps_per_epoch:
+                    break
+            vloss /= max(nvb, 1)
+
+        if verbose and jax.process_index() == 0:
+            print(f"Epoch {epoch + 1}/{cfg.unfreeze_epoch}: lr {lr:.3e} "
+                  f"loss {tloss:.4f} val_loss {vloss:.4f}")
+            if loss_history:
+                loss_history.append(epoch, tloss, vloss if nvb else None)
+            variables_now = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+            # checkpoint cadence mirrors utils/utils_fit.py:153-172
+            if (epoch + 1) % cfg.save_period == 0 or epoch + 1 == cfg.unfreeze_epoch:
+                save_variables(os.path.join(
+                    cfg.save_dir,
+                    f"ep{epoch + 1:03d}-loss{tloss:.3f}-val_loss{vloss:.3f}.msgpack"),
+                    variables_now)
+            if nvb and vloss < best_val:
+                best_val = vloss
+                save_variables(os.path.join(cfg.save_dir,
+                                            "best_epoch_weights.msgpack"),
+                               variables_now)
+            save_variables(os.path.join(cfg.save_dir, "last_epoch_weights.msgpack"),
+                           variables_now)
+
+        if stopper is not None and nvb and stopper(
+                vloss, {"params": state.params, "batch_stats": state.batch_stats}):
+            if verbose:
+                print(f"early stopping at epoch {epoch + 1}")
+            break
+        epoch += 1
+
+    return state

@@ -1,0 +1,178 @@
+"""The jitted train/eval steps — SPMD data-parallel over a device mesh.
+
+TPU-native replacement for the reference's training core
+(utils/utils_fit.py:26-151 + DDP/AMP machinery, train.py:254-350):
+
+- one ``jit``-compiled step; the batch is sharded on the mesh's ``data``
+  axis, params are replicated; XLA inserts the gradient all-reduce over ICI
+  (the NCCL all-reduce in DDP, train.py:346)
+- BatchNorm batch stats are computed over the *global* sharded batch by
+  GSPMD — SyncBatchNorm (train.py:335-338) for free
+- bf16 compute policy replaces AMP GradScaler (train.py:325-329) — the MXU
+  accumulates in f32, so no loss scaling
+- /255 normalization + one-hot expansion run on device inside the step
+  instead of in the host collate fn (utils/dataloader.py:40-52)
+- the learning rate enters the step as a scalar argument, so the reference's
+  epoch-granular ``set_optimizer_lr`` (nets/unet_training.py:110-113) is
+  just "call the step with this epoch's lr" — no recompile
+- freeze/unfreeze phases (train.py:453-492) are an optax.multi_transform
+  mask over the backbone subtree — a new step is compiled per phase, exactly
+  mirroring the reference's DataLoader/optimizer rebuild at the transition
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpu_unet.train.losses import ce_loss, dice_loss, f_score, focal_loss
+
+# top-level param keys that constitute the "backbone" for freeze phases
+# (reference freeze_backbone methods, e.g. nets/unet.py:80-94,
+#  nets/TraditionalUnet.py:95-115, nets/LightWeightUnet.py:178-184)
+FREEZE_PREFIXES = {
+    "unet_vgg": ("vgg",),
+    "unet_resnet50": ("resnet",),
+    "self_net": ("vgg",),
+    "traditional": ("inc", "down1", "down2", "down3"),
+    "traditional22": ("inc", "down1", "down2", "down3"),
+    "lightweight": ("stage1", "stage2", "stage3", "stage4", "stage5"),
+}
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats, lr):
+        """tx yields ascent directions (adam/momentum-scaled grads);
+        the final update is ``-lr * u`` — the lr scaling the reference
+        applies via param_group['lr']."""
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(optimizer_type: str = "adam", momentum: float = 0.9,
+                   weight_decay: float = 0.0,
+                   freeze_prefixes: Sequence[str] = ()) -> optax.GradientTransformation:
+    """adam(betas=(momentum, .999)) | sgd(nesterov) with torch-style L2
+    weight decay added to the raw gradient (reference: train.py:402-405).
+    Emits un-negated, lr-free update directions; see
+    ``TrainState.apply_gradients``."""
+    chain = []
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    if optimizer_type == "adam":
+        chain.append(optax.scale_by_adam(b1=momentum, b2=0.999))
+    elif optimizer_type == "sgd":
+        chain.append(optax.trace(decay=momentum, nesterov=True))
+    else:
+        raise ValueError(f"unknown optimizer {optimizer_type!r}")
+    tx = optax.chain(*chain)
+    if freeze_prefixes:
+        frozen = tuple(freeze_prefixes)
+
+        def label(params):
+            return {k: ("frozen" if k in frozen else "train") for k in params}
+
+        tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()},
+                                   label)
+    return tx
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    num_classes: int
+    cls_weights: tuple
+    use_focal: bool = False
+    use_dice: bool = False
+    aux_weights: tuple = ()      # () = no deep supervision
+    compute_dtype: Any = jnp.float32
+
+
+def _prepare_batch(batch, num_classes, compute_dtype):
+    """uint8 HWC image + int label map → normalized input, target, one-hot."""
+    imgs = batch["image"].astype(jnp.float32) / 255.0
+    imgs = imgs.astype(compute_dtype)
+    target = batch["label"].astype(jnp.int32)
+    onehot = jax.nn.one_hot(target, num_classes + 1, dtype=jnp.float32)
+    return imgs, target, onehot
+
+
+def _total_loss(outputs, target, onehot, cfg: StepConfig):
+    if not isinstance(outputs, (tuple, list)):
+        outputs = (outputs,)
+    weights = cfg.aux_weights or (1.0,)
+    total = 0.0
+    for out, w in zip(outputs, weights):
+        out = out.astype(jnp.float32)
+        base = (focal_loss if cfg.use_focal else ce_loss)(
+            out, target, cfg.cls_weights, cfg.num_classes)
+        if cfg.use_dice:
+            base = base + dice_loss(out, onehot)
+        total = total + w * base
+    return total, outputs[0].astype(jnp.float32)
+
+
+def make_train_step(model, cfg: StepConfig) -> Callable:
+    """Returns jitted (state, batch, lr, dropout_key) → (state, metrics)."""
+
+    def train_step(state: TrainState, batch, lr, dropout_key):
+        imgs, target, onehot = _prepare_batch(batch, cfg.num_classes,
+                                              cfg.compute_dtype)
+
+        def loss_fn(params):
+            outputs, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs, True, rngs={"dropout": dropout_key},
+                mutable=["batch_stats"])
+            loss, main = _total_loss(outputs, target, onehot, cfg)
+            return loss, (mut["batch_stats"], main)
+
+        (loss, (new_stats, main)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_stats, lr)
+        metrics = {"loss": loss, "f_score": f_score(main, onehot)}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, cfg: StepConfig) -> Callable:
+    """Jitted validation step: loss + f_score, running-stat BN
+    (reference: utils/utils_fit.py:111-151)."""
+
+    def eval_step(state: TrainState, batch):
+        imgs, target, onehot = _prepare_batch(batch, cfg.num_classes,
+                                              cfg.compute_dtype)
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, False)
+        loss, main = _total_loss(outputs, target, onehot,
+                                 dataclasses.replace(cfg, aux_weights=()))
+        return {"val_loss": loss, "val_f_score": f_score(main, onehot)}
+
+    return jax.jit(eval_step)
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
