@@ -1,0 +1,57 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_unet.kernels.postprocess import fused_argmax_mask, fused_mask_palette
+from tpu_unet.kernels.preprocess import normalize_images
+
+
+def test_fused_argmax_matches_jnp():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(2, 16, 16, 21).astype("float32")
+    ours = np.asarray(fused_argmax_mask(jnp.asarray(logits), interpret=True))
+    ref = logits.argmax(-1)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_fused_palette_blend():
+    rng = np.random.RandomState(1)
+    mask = rng.randint(0, 4, size=(1, 16, 16)).astype("int32")
+    img = rng.randint(0, 255, size=(1, 16, 16, 3)).astype("uint8")
+    colors = [(0, 0, 0), (128, 0, 0), (0, 128, 0), (128, 128, 0)]
+    out = np.asarray(fused_mask_palette(jnp.asarray(mask), jnp.asarray(img),
+                                        colors, alpha=0.7, interpret=True))
+    seg = np.asarray(colors, np.uint8)[mask[0]]
+    ref = np.round(img[0].astype(np.float64) * 0.3
+                   + seg.astype(np.float64) * 0.7)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.abs(out[0].astype(np.int32) - ref.astype(np.int32)).max() <= 1
+
+
+def test_normalize_images():
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 255, size=(2, 8, 8, 3)).astype("uint8")
+    out = np.asarray(normalize_images(jnp.asarray(imgs), interpret=True))
+    np.testing.assert_allclose(out, imgs.astype("float32") / 255.0,
+                               rtol=1e-6)
+
+
+def test_quantization_roundtrip():
+    from tpu_unet.models.registry import build_model, init_model
+    from tpu_unet.tools.quantization import (quantization_report,
+                                             quantize_variables,
+                                             quantized_apply)
+
+    m = build_model("ultralight", 4)
+    v = init_model(m, (32, 32))
+    rep = quantization_report(v)
+    assert rep["ratio"] < 0.55      # conv weights dominate → near 4x shrink
+    bundle = quantize_variables(v)
+    x = np.random.RandomState(0).rand(1, 32, 32, 3).astype("float32")
+    qy = np.asarray(quantized_apply(m, bundle, x))
+    fy = np.asarray(m.apply(v, x, False))
+    # int8 weights: outputs close but not identical
+    assert qy.shape == fy.shape
+    assert np.abs(qy - fy).mean() < 0.2

@@ -43,6 +43,27 @@ def evaluate(wrapper, ids: Sequence[str], gt_dir: str, num_classes: int,
     return compute_miou_from_hist(hist, name_classes, verbose)
 
 
+def evaluate_npy(pred_dir: str, gt_dir: str, num_classes: int,
+                 name_classes=None, verbose: bool = True):
+    """mIoU over prediction_%06d.npy / ground_truth_%06d.npy dumps — the
+    competition format (reference: utils/utils_metrics.py:134-203)."""
+    import glob
+
+    hist = np.zeros((num_classes, num_classes), np.int64)
+    preds = sorted(glob.glob(os.path.join(pred_dir, "prediction_*.npy")))
+    for p in preds:
+        idx = os.path.basename(p)[len("prediction_"):-len(".npy")]
+        g = os.path.join(gt_dir, f"ground_truth_{idx}.npy")
+        if not os.path.exists(g):
+            continue
+        pred = np.load(p)
+        gt = np.load(g)
+        if pred.shape != gt.shape:
+            continue
+        hist += np.asarray(confusion_matrix(gt, pred, num_classes))
+    return compute_miou_from_hist(hist, name_classes, verbose)
+
+
 def show_results(result: dict, out_dir: str, name_classes=None,
                  foreground_only: bool = True):
     """Bar plots + confusion CSV (reference: utils/utils_metrics.py:238-265).

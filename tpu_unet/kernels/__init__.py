@@ -1,0 +1,2 @@
+from tpu_unet.kernels.postprocess import fused_argmax_mask, fused_mask_palette
+from tpu_unet.kernels.preprocess import normalize_images

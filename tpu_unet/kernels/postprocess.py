@@ -1,0 +1,105 @@
+"""Pallas postprocessing kernels — the softmax/argmax/palette tail.
+
+The reference does this on host with numpy/PIL (unet.py:135-182: softmax →
+cpu → crop → resize → argmax → palette lookup → blend).  Here the whole
+tail runs on device; the Pallas kernels fuse argmax + palette + blend into
+one VMEM pass so only the final uint8 RGB leaves the chip.
+
+Layout notes: logits arrive NHWC with C = num_classes (≤ 22 for every
+reference task).  The class axis is tiny, so the kernel tiles over rows
+(8×128-aligned spatial blocks) and reduces C in registers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _argmax_kernel(logits_ref, out_ref):
+    # logits block: (rows, C); out block: (rows, 1)
+    x = logits_ref[...]
+    out_ref[...] = jnp.argmax(x, axis=-1, keepdims=True).astype(jnp.int32)
+
+
+def fused_argmax_mask(logits, interpret: bool = False):
+    """(N,H,W,C) logits → (N,H,W) int32 argmax mask as one Pallas pass.
+
+    softmax is order-preserving, so the mask equals the reference's
+    softmax-then-argmax (unet.py:135-148) without the exp work.
+    """
+    n, h, w, c = logits.shape
+    flat = logits.reshape(n * h * w, c)
+    rows = n * h * w
+    block = 1024
+    grid = (pl.cdiv(rows, block),)
+    pad = (-rows) % block
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _argmax_kernel,
+        out_shape=jax.ShapeDtypeStruct((flat.shape[0], 1), jnp.int32),
+        grid=grid,
+        in_specs=[pl.BlockSpec((block, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat)
+    return out[:rows, 0].reshape(n, h, w)
+
+
+def _palette_blend_kernel(mask_ref, img_ref, palette_ref, alpha_ref, out_ref):
+    """mask (rows,1) int32 + original RGB (rows,3) + palette (C,3) →
+    blended uint8 RGB (rows,3): out = img*(1-a) + palette[mask]*a
+    (reference blend: unet.py:174-182, Image.blend(old, new, 0.7))."""
+    mask = mask_ref[...]                       # (rows, 1)
+    img = img_ref[...].astype(jnp.float32)     # (rows, 3)
+    palette = palette_ref[...].astype(jnp.float32)  # (C, 3)
+    alpha = alpha_ref[0]
+    onehot = (mask == jax.lax.broadcasted_iota(
+        jnp.int32, (1, palette.shape[0]), 1)).astype(jnp.float32)
+    seg = jnp.dot(onehot, palette, preferred_element_type=jnp.float32)
+    out = img * (1.0 - alpha) + seg * alpha
+    out_ref[...] = jnp.round(out).astype(jnp.uint8)
+
+
+def fused_mask_palette(mask, image_rgb, colors, alpha: float = 0.7,
+                       interpret: bool = False):
+    """(N,H,W) int mask + (N,H,W,3) uint8 original → blended uint8 RGB.
+
+    mix_type 0 when alpha=0.7; mix_type 1 is alpha=1.0
+    (reference: unet.py:168-194).
+    """
+    n, h, w = mask.shape
+    rows = n * h * w
+    flat_mask = mask.reshape(rows, 1).astype(jnp.int32)
+    flat_img = image_rgb.reshape(rows, 3)
+    palette = jnp.asarray(np.asarray(colors, np.uint8))
+    block = 1024
+    pad = (-rows) % block
+    if pad:
+        flat_mask = jnp.pad(flat_mask, ((0, pad), (0, 0)))
+        flat_img = jnp.pad(flat_img, ((0, pad), (0, 0)))
+    grid = (pl.cdiv(flat_mask.shape[0], block),)
+    out = pl.pallas_call(
+        functools.partial(_palette_blend_kernel),
+        out_shape=jax.ShapeDtypeStruct((flat_mask.shape[0], 3), jnp.uint8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((palette.shape[0], 3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat_mask, flat_img, palette,
+      jnp.asarray([alpha], jnp.float32))
+    return out[:rows].reshape(n, h, w, 3)

@@ -1,0 +1,39 @@
+"""Pallas preprocessing kernel — uint8 → normalized compute-dtype images.
+
+The reference normalizes on host (utils/utils.py:64-66 preprocess_input =
+/255, inside the DataLoader).  On TPU the uint8 batch ships over PCIe/ICI
+at 1/4 the bytes of f32 and this kernel expands + scales in VMEM on the way
+into the model.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _normalize_kernel(img_ref, out_ref):
+    out_ref[...] = img_ref[...].astype(jnp.float32) * (1.0 / 255.0)
+
+
+def normalize_images(images_u8, dtype=jnp.float32, interpret: bool = False):
+    """(N,H,W,3) uint8 → (N,H,W,3) dtype in [0,1]."""
+    n, h, w, c = images_u8.shape
+    flat = images_u8.reshape(n * h, w * c)
+    block = 256
+    pad = (-flat.shape[0]) % block
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _normalize_kernel,
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
+        grid=(pl.cdiv(flat.shape[0], block),),
+        in_specs=[pl.BlockSpec((block, flat.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, flat.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat)
+    out = out[: n * h].reshape(n, h, w, c)
+    return out.astype(dtype)

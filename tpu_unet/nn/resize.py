@@ -44,17 +44,52 @@ def _lerp_coeffs(in_size: int, out_size: int, align_corners: bool):
     return i0, i1, w
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool):
+    """(out, in) row-stochastic interpolation matrix — 2 nonzeros per row."""
+    i0, i1, w = _lerp_coeffs(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), 1.0 - w)
+    np.add.at(m, (rows, i1), w)
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_matrix(in_size: int, out_size: int):
+    idx = _nearest_idx(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), idx] = 1.0
+    return m
+
+
+# einsum specs per (ndim, spatial axis): contraction with the (out, in)
+# resize matrix.  Interpolation-as-matmul is the TPU idiom: gathers along
+# spatial axes of NHWC lower to catastrophically slow dynamic-gathers
+# (measured 30-60 ms per decoder upsample at 512px vs ~0.5 ms as an MXU
+# contraction), while a (O,H)x(H,·) matmul rides the systolic array.
+_EINSUM = {
+    (4, 1): "oh,bhwc->bowc",
+    (4, 2): "ow,bhwc->bhoc",
+    (3, 0): "oh,hwc->owc",
+    (3, 1): "ow,hwc->hoc",
+}
+
+
+def _apply_matrix(x, m_np, axis: int):
+    spec = _EINSUM[(x.ndim, axis)]
+    m = jnp.asarray(m_np, x.dtype)
+    return jnp.einsum(spec, m, x, preferred_element_type=x.dtype
+                      if x.dtype == jnp.float32 else jnp.float32
+                      ).astype(x.dtype)
+
+
 def _interp_axis(x, out_size: int, axis: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    i0, i1, w = _lerp_coeffs(in_size, out_size, align_corners)
-    lo = jnp.take(x, jnp.asarray(i0), axis=axis)
-    hi = jnp.take(x, jnp.asarray(i1), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    wj = jnp.asarray(w).reshape(shape)
-    return lo + (hi - lo) * wj
+    return _apply_matrix(x, _interp_matrix(in_size, out_size, align_corners),
+                         axis)
 
 
 def resize_bilinear(x, size, align_corners: bool = True):
@@ -68,10 +103,12 @@ def resize_bilinear(x, size, align_corners: bool = True):
     h_axis = x.ndim - 3
     w_axis = x.ndim - 2
     orig_dtype = x.dtype
-    y = x.astype(jnp.float32)
+    # float dtypes interpolate natively (bf16 stays bf16 — MXU fast path);
+    # integer inputs go through f32
+    y = x if jnp.issubdtype(x.dtype, jnp.floating) else x.astype(jnp.float32)
     y = _interp_axis(y, oh, h_axis, align_corners)
     y = _interp_axis(y, ow, w_axis, align_corners)
-    return y.astype(orig_dtype)
+    return y if y.dtype == orig_dtype else y.astype(orig_dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -84,14 +121,17 @@ def _nearest_idx(in_size: int, out_size: int):
 def resize_nearest(x, size):
     """Nearest-neighbor resize matching torch's default
     ``F.interpolate(mode='nearest')`` (used by OptimizedBalancedSeg,
-    reference: nets/SegNets.py:658-670)."""
+    reference: nets/SegNets.py:658-670).  Implemented as a 0/1 selection
+    matmul for the same gather-avoidance reason as the bilinear path."""
     oh, ow = int(size[0]), int(size[1])
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
-    if x.shape[h_axis] != oh:
-        x = jnp.take(x, jnp.asarray(_nearest_idx(x.shape[h_axis], oh)), axis=h_axis)
-    if x.shape[w_axis] != ow:
-        x = jnp.take(x, jnp.asarray(_nearest_idx(x.shape[w_axis], ow)), axis=w_axis)
-    return x
+    orig_dtype = x.dtype
+    y = x if jnp.issubdtype(x.dtype, jnp.floating) else x.astype(jnp.float32)
+    if y.shape[h_axis] != oh:
+        y = _apply_matrix(y, _nearest_matrix(y.shape[h_axis], oh), h_axis)
+    if y.shape[w_axis] != ow:
+        y = _apply_matrix(y, _nearest_matrix(y.shape[w_axis], ow), w_axis)
+    return y if y.dtype == orig_dtype else y.astype(orig_dtype)
 
 
 def upsample2x(x, align_corners: bool = True):
