@@ -1,0 +1,173 @@
+"""Command-line entry points.
+
+The reference is script-driven with in-file constants and no CLI
+(SURVEY.md §5.6); here the same workflows are subcommands over the preset
+tables:
+
+    python -m tpu_unet.cli train  --preset medical --data-root /data ...
+    python -m tpu_unet.cli predict --preset ultralight_large_optimized \
+        --model-path ckpt.pth --mode dir --input img/ --output out/
+    python -m tpu_unet.cli miou  --preset ... --model-path ... --split val.txt
+    python -m tpu_unet.cli summary --model unet_vgg --size 512
+    python -m tpu_unet.cli export --preset ... --model-path ... --out m.stablehlo
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--model-path", default="")
+    p.add_argument("--num-classes", type=int)
+    p.add_argument("--input-shape", type=int, nargs=2)
+
+
+def cmd_train(args):
+    from tpu_unet.configs.presets import get_preset
+    from tpu_unet.data.datasets import read_split
+    from tpu_unet.train.fit import fit
+
+    overrides = {}
+    if args.model_path:
+        overrides["model_path"] = args.model_path
+    if args.num_classes:
+        overrides["num_classes"] = args.num_classes
+    if args.input_shape:
+        overrides["input_shape"] = tuple(args.input_shape)
+    if args.epochs:
+        overrides["unfreeze_epoch"] = args.epochs
+    if args.batch_size:
+        overrides["freeze_batch_size"] = args.batch_size
+        overrides["unfreeze_batch_size"] = args.batch_size
+    if args.data_path:
+        overrides["dataset_path"] = args.data_path
+    cfg = get_preset(args.preset, **overrides)
+
+    if args.train_split:
+        train_ids = read_split(args.train_split)
+        val_ids = read_split(args.val_split) if args.val_split else []
+    else:
+        # default split layout (reference: train.py:355-358)
+        sets = os.path.join(args.data_root, cfg.dataset_path,
+                            "VOC2012", "ImageSets", "Segmentation")
+        train_ids = read_split(os.path.join(sets, "train.txt"))
+        val_ids = read_split(os.path.join(sets, "val.txt"))
+    fit(cfg, train_ids, val_ids, base_dir=args.data_root)
+
+
+def _wrapper_overrides(args):
+    over = {"model_path": args.model_path}
+    if args.num_classes:
+        over["num_classes"] = args.num_classes
+    if args.input_shape:
+        over["input_shape"] = list(args.input_shape)
+    return over
+
+
+def cmd_predict(args):
+    from PIL import Image
+
+    from tpu_unet.configs.infer_presets import build_wrapper
+    from tpu_unet.tools import predict as P
+
+    u = build_wrapper(args.preset, **_wrapper_overrides(args),
+                      **({"mix_type": args.mix_type}
+                         if args.mix_type is not None else {}))
+    if args.mode == "dir":
+        n = P.predict_dir(u, args.input, args.output, save_npy=args.save_npy)
+        print(f"processed {n} images -> {args.output}")
+    elif args.mode == "single":
+        out = u.detect_image(Image.open(args.input), count=args.count)
+        out.save(args.output)
+        print(f"saved {args.output}")
+    elif args.mode == "video":
+        frames, fps = P.predict_video(u, args.input or 0, args.output)
+        print(f"{frames} frames, {fps:.1f} fps")
+    elif args.mode == "fps":
+        P.fps_test(u, args.input, args.test_interval)
+
+
+def cmd_miou(args):
+    from tpu_unet.configs.infer_presets import build_wrapper
+    from tpu_unet.data.datasets import read_split
+    from tpu_unet.eval.driver import evaluate
+
+    u = build_wrapper(args.preset, **_wrapper_overrides(args))
+    ids = read_split(args.split)
+    evaluate(u, ids, args.gt_dir, u.num_classes,
+             name_classes=args.names.split(",") if args.names else None,
+             image_dir=args.image_dir, pred_dir=args.pred_dir)
+
+
+def cmd_summary(args):
+    from tpu_unet.tools.summary import summarize
+
+    summarize(args.model, (args.size, args.size), args.num_classes or 21)
+
+
+def cmd_export(args):
+    from tpu_unet.configs.infer_presets import build_wrapper
+
+    u = build_wrapper(args.preset, **_wrapper_overrides(args))
+    u.convert_to_export(args.out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpu_unet")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train")
+    p.add_argument("--preset", required=True)
+    p.add_argument("--data-root", default=".")
+    p.add_argument("--data-path", default="")
+    p.add_argument("--train-split", default="")
+    p.add_argument("--val-split", default="")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch-size", type=int)
+    _add_common(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("predict")
+    p.add_argument("--preset", required=True)
+    p.add_argument("--mode", default="dir",
+                   choices=["dir", "single", "video", "fps"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", default="out")
+    p.add_argument("--mix-type", type=int, default=None)
+    p.add_argument("--count", action="store_true")
+    p.add_argument("--save-npy", action="store_true")
+    p.add_argument("--test-interval", type=int, default=100)
+    _add_common(p)
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("miou")
+    p.add_argument("--preset", required=True)
+    p.add_argument("--split", required=True)
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--gt-dir", required=True)
+    p.add_argument("--pred-dir", default="")
+    p.add_argument("--names", default="")
+    _add_common(p)
+    p.set_defaults(fn=cmd_miou)
+
+    p = sub.add_parser("summary")
+    p.add_argument("--model", required=True)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--num-classes", type=int)
+    p.set_defaults(fn=cmd_summary)
+
+    p = sub.add_parser("export")
+    p.add_argument("--preset", required=True)
+    p.add_argument("--out", required=True)
+    _add_common(p)
+    p.set_defaults(fn=cmd_export)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
