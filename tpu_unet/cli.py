@@ -79,6 +79,10 @@ def cmd_predict(args):
     if args.mode == "dir":
         n = P.predict_dir(u, args.input, args.output, save_npy=args.save_npy)
         print(f"processed {n} images -> {args.output}")
+    elif args.mode == "dir_batched":
+        n = P.predict_dir_batched(u, args.input, args.output,
+                                  batch_size=args.batch_size)
+        print(f"processed {n} images -> {args.output}")
     elif args.mode == "single":
         out = u.detect_image(Image.open(args.input), count=args.count)
         out.save(args.output)
@@ -133,7 +137,8 @@ def main(argv=None):
     p = sub.add_parser("predict")
     p.add_argument("--preset", required=True)
     p.add_argument("--mode", default="dir",
-                   choices=["dir", "single", "video", "fps"])
+                   choices=["dir", "dir_batched", "single", "video", "fps"])
+    p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--input", required=True)
     p.add_argument("--output", default="out")
     p.add_argument("--mix-type", type=int, default=None)

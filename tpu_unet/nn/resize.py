@@ -88,6 +88,9 @@ def _interp_axis(x, out_size: int, axis: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    # Note: a repeat+shift+select formulation of the exact ×2 case was
+    # measured *slower* than the einsum contraction on v5e (159 vs 187
+    # img/s e2e at 512px) — the matmul stays.
     return _apply_matrix(x, _interp_matrix(in_size, out_size, align_corners),
                          axis)
 

@@ -33,6 +33,43 @@ def predict_dir(wrapper, in_dir: str, out_dir: str, save_npy: bool = False,
     return len(names)
 
 
+def predict_dir_batched(wrapper, in_dir: str, out_dir: str,
+                        batch_size: int = 32, n_threads: int = 8,
+                        limit: Optional[int] = None):
+    """High-throughput folder segmentation: native C++ letterbox decode →
+    fixed-shape TPU batches → class-index PNGs.
+
+    This is the production path the reference lacks (predict.py loops
+    detect_image one image at a time); the native loader + one jitted batch
+    graph keep the MXU fed.
+    """
+    import numpy as np
+
+    from tpu_unet.data.native import load_letterbox_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    names = sorted(f for f in os.listdir(in_dir)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+    if limit:
+        names = names[:limit]
+    h, w = wrapper.input_shape
+    done = 0
+    for i in range(0, len(names), batch_size):
+        chunk = names[i:i + batch_size]
+        paths = [os.path.join(in_dir, n) for n in chunk]
+        batch, nws, nhs = load_letterbox_batch(paths, h, w, n_threads)
+        if len(chunk) < batch_size:  # pad to the compiled shape
+            pad = np.zeros((batch_size - len(chunk), h, w, 3), np.uint8)
+            batch = np.concatenate([batch, pad])
+        masks = wrapper.batch_infer(batch)[: len(chunk)]
+        for name, mask in zip(chunk, masks):
+            stem = os.path.splitext(name)[0]
+            Image.fromarray(mask.astype(np.uint8)).save(
+                os.path.join(out_dir, stem + ".png"))
+        done += len(chunk)
+    return done
+
+
 def predict_video(wrapper, video_path=0, video_save_path: str = "",
                   video_fps: float = 25.0, max_frames: Optional[int] = None):
     """Per-frame detect_image with running-average FPS overlay

@@ -65,6 +65,18 @@ def export_results(models: dict, ids: Sequence[str], image_dir: str,
     return metrics
 
 
+def pack_submission(src_dir: str, out_path: str) -> str:
+    """Archive the submission artifacts (the output.py counterpart,
+    reference: output.py:1-37 — py7zr there; zip here, no extra deps)."""
+    import shutil
+
+    base, ext = os.path.splitext(out_path)
+    fmt = {".zip": "zip", ".tar": "tar", ".gz": "gztar"}.get(ext, "zip")
+    archive = shutil.make_archive(base, fmt, src_dir)
+    print(f"packed {src_dir} -> {archive}")
+    return archive
+
+
 def check_nan_in_npy(npy_dir: str) -> int:
     """NaN audit over prediction dumps (reference: check_nan_in_npy.py:4-22)."""
     bad = 0

@@ -1,0 +1,59 @@
+"""Training-step throughput harness (the other half of BASELINE.json's
+"inference + train step" metric): images/sec/chip for the full jitted SPMD
+train step (forward + loss + backward + optimizer update + BN stats).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+
+def bench_train_step(model_name: str = "unet_vgg", batch: int = 8,
+                     size: int = 512, num_classes: int = 21,
+                     iters: int = 10, bf16: bool = True):
+    import jax.numpy as jnp
+
+    from tpu_unet.models.registry import build_model, init_model
+    from tpu_unet.train.step import (StepConfig, create_train_state,
+                                     make_optimizer, make_train_step)
+
+    model = build_model(model_name, num_classes)
+    variables = init_model(model, (size, size), train=True)
+    cfg = StepConfig(num_classes=num_classes,
+                     cls_weights=tuple([1.0] * num_classes), use_dice=True,
+                     compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    tx = make_optimizer("adam")
+    state = create_train_state(model, variables, tx)
+    step = make_train_step(model, cfg)
+
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "image": jax.device_put(
+            rng.randint(0, 255, (batch, size, size, 3)).astype(np.uint8)),
+        "label": jax.device_put(
+            rng.randint(0, num_classes, (batch, size, size)).astype(np.int32)),
+    }
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, batch_data, 1e-4, key)  # compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch_data, 1e-4, key)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    out = {"model": model_name, "batch": batch, "size": size,
+           "train_images_per_sec_per_chip": ips / max(jax.device_count(), 1)}
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    bench_train_step(
+        model_name=sys.argv[1] if len(sys.argv) > 1 else "unet_vgg",
+        batch=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+    )

@@ -113,8 +113,14 @@ def make_datasets(cfg: TrainConfig, base_dir: str, train_ids, val_ids,
 
 def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
         mesh=None, max_steps_per_epoch: Optional[int] = None,
-        verbose: bool = True):
-    """Run the full two-phase training; returns the final TrainState."""
+        verbose: bool = True, wandb_logger=None, miou_callback=None):
+    """Run the full two-phase training; returns the final TrainState.
+
+    ``wandb_logger``: optional tpu_unet.train.wandb_logging.WandbLogger
+    (the fit_one_epoch_use_wandb counterpart, utils/utils_fit.py:286-471).
+    ``miou_callback``: optional tpu_unet.train.callbacks.MIoUEvalCallback
+    (the EvalCallback counterpart, utils/callbacks.py:244-530).
+    """
     if mesh is None:
         mesh = create_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
@@ -211,6 +217,11 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
                   f"loss {tloss:.4f} val_loss {vloss:.4f}")
             if loss_history:
                 loss_history.append(epoch, tloss, vloss if nvb else None)
+            if wandb_logger is not None:
+                wandb_logger.log_epoch(epoch, loss=tloss, val_loss=vloss,
+                                       lr=lr)
+            if miou_callback is not None:
+                miou_callback.on_epoch_end(epoch)
             variables_now = {"params": state.params,
                              "batch_stats": state.batch_stats}
             # checkpoint cadence mirrors utils/utils_fit.py:153-172
