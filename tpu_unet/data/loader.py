@@ -25,7 +25,9 @@ class Loader:
                  process_index: int = 0, process_count: int = 1,
                  num_workers: int = 4, prefetch: int = 2):
         if batch_size % process_count:
-            raise ValueError("global batch must divide process count")
+            raise ValueError(
+                f"global batch size {batch_size} must be divisible by the "
+                f"process count {process_count}")
         self.dataset = dataset
         self.global_batch = batch_size
         self.local_batch = batch_size // process_count

@@ -79,10 +79,11 @@ class Unet:
         return f"Unrecognized attribute name '{n}'"
 
     def __init__(self, **kwargs):
+        # instance attrs from defaults, kwargs override (reference:
+        # unet.py:60-63 — the class dict itself is never mutated)
         self.__dict__.update(self._defaults)
         for name, value in kwargs.items():
             setattr(self, name, value)
-            self._defaults[name] = value
         if self.num_classes <= 21:
             self.colors = list(VOC_COLORS)
         else:

@@ -182,10 +182,16 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
                                   seed=cfg.seed, num_workers=cfg.num_workers,
                                   process_index=jax.process_index(),
                                   process_count=jax.process_count())
-            val_loader = Loader(val_ds, batch_size, shuffle=False,
+            # small validation sets get a shrunk (device-aligned) batch so
+            # they still produce at least one full batch
+            val_bs = batch_size
+            if len(val_ds) < batch_size:
+                val_bs = (len(val_ds) // n_dev) * n_dev
+            val_loader = Loader(val_ds, val_bs, shuffle=False,
                                 seed=cfg.seed, num_workers=cfg.num_workers,
                                 process_index=jax.process_index(),
-                                process_count=jax.process_count())
+                                process_count=jax.process_count()) \
+                if val_bs > 0 else None
 
         lr = lr_sched(epoch)
         train_loader.set_epoch(epoch)
@@ -202,7 +208,7 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
         tloss /= max(nb, 1)
 
         vloss, nvb = 0.0, 0
-        if cfg.eval_flag and len(val_ds):
+        if cfg.eval_flag and val_loader is not None:
             for batch in val_loader:
                 batch = shard_batch(batch, mesh)
                 m = eval_step(state, batch)
