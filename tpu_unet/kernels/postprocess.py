@@ -44,6 +44,10 @@ def fused_argmax_mask(logits, interpret: bool = False):
     n, h, w, c = logits.shape
     flat = logits.reshape(n * h * w, c)
     rows = n * h * w
+    # Block sizing: the (block, C) input and (block, 1) output tiles are
+    # lane-padded to 128, so VMEM ≈ block·128·4B per buffer.  Measured on
+    # v5e at 512px/batch 8: block 1024 → 155 img/s, 4096 → 153, 16384 →
+    # scoped-vmem OOM; grid-step overhead is not the bottleneck.
     block = 1024
     grid = (pl.cdiv(rows, block),)
     pad = (-rows) % block
