@@ -79,9 +79,9 @@ _EINSUM = {
 def _apply_matrix(x, m_np, axis: int):
     spec = _EINSUM[(x.ndim, axis)]
     m = jnp.asarray(m_np, x.dtype)
-    return jnp.einsum(spec, m, x, preferred_element_type=x.dtype
-                      if x.dtype == jnp.float32 else jnp.float32
-                      ).astype(x.dtype)
+    # 2-nonzero rows: accumulation in the input dtype is exact enough even
+    # for bf16 (and avoids f32 intermediates on the MXU fast path)
+    return jnp.einsum(spec, m, x, preferred_element_type=x.dtype)
 
 
 def _interp_axis(x, out_size: int, axis: int, align_corners: bool):
