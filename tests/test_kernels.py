@@ -38,6 +38,20 @@ def test_normalize_images():
                                rtol=1e-6)
 
 
+def test_fused_final_argmax_matches_reference():
+    from tpu_unet.kernels.postprocess import fused_final_argmax
+
+    rng = np.random.RandomState(3)
+    feat = rng.randn(2, 8, 8, 64).astype("float32")
+    kern = rng.randn(1, 1, 64, 21).astype("float32")
+    bias = rng.randn(21).astype("float32")
+    ours = np.asarray(fused_final_argmax(
+        jnp.asarray(feat), jnp.asarray(kern), jnp.asarray(bias),
+        interpret=True))
+    ref = (feat @ kern.reshape(64, 21) + bias).argmax(-1)
+    np.testing.assert_array_equal(ours, ref)
+
+
 def test_quantization_roundtrip():
     from tpu_unet.models.registry import build_model, init_model
     from tpu_unet.tools.quantization import (quantization_report,

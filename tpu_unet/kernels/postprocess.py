@@ -66,6 +66,46 @@ def fused_argmax_mask(logits, interpret: bool = False):
     return out[:rows, 0].reshape(n, h, w)
 
 
+def _final_argmax_kernel(feat_ref, w_ref, b_ref, out_ref):
+    """(block, F) features × (F, C) final-conv weight + bias → per-pixel
+    argmax class, without materializing the logit map."""
+    x = feat_ref[...].astype(jnp.float32)
+    logits = jnp.dot(x, w_ref[...].astype(jnp.float32),
+                     preferred_element_type=jnp.float32) + b_ref[...]
+    out_ref[...] = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+
+
+def fused_final_argmax(features, kernel, bias, interpret: bool = False):
+    """Fused final 1×1 conv + argmax: (N,H,W,F) features + HWIO (1,1,F,C)
+    kernel → (N,H,W) int32 mask.  The C-channel logit tensor (the largest
+    intermediate of the inference tail) never touches HBM.
+    """
+    n, h, w, f = features.shape
+    kern = kernel.reshape(kernel.shape[-2], kernel.shape[-1])  # (F, C)
+    c = kern.shape[-1]
+    rows = n * h * w
+    flat = features.reshape(rows, f)
+    block = 2048
+    pad = (-rows) % block
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _final_argmax_kernel,
+        out_shape=jax.ShapeDtypeStruct((flat.shape[0], 1), jnp.int32),
+        grid=(pl.cdiv(flat.shape[0], block),),
+        in_specs=[
+            pl.BlockSpec((block, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat, kern, bias.reshape(1, c))
+    return out[:rows, 0].reshape(n, h, w)
+
+
 def _palette_blend_kernel(mask_ref, img_ref, palette_ref, alpha_ref, out_ref):
     """mask (rows,1) int32 + original RGB (rows,3) + palette (C,3) →
     blended uint8 RGB (rows,3): out = img*(1-a) + palette[mask]*a
