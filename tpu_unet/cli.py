@@ -50,11 +50,16 @@ def cmd_train(args):
         train_ids = read_split(args.train_split)
         val_ids = read_split(args.val_split) if args.val_split else []
     else:
-        # default split layout (reference: train.py:355-358)
-        sets = os.path.join(args.data_root, cfg.dataset_path,
-                            "VOC2012", "ImageSets", "Segmentation")
+        # default split layouts: VOC-style under <data>/VOC2012 (reference:
+        # train.py:355-358), medical directly under the dataset root
+        # (train_medical.py:227-230), defect under <data>/DataB
+        sub = {"voc": "VOC2012", "heavy": "VOC2012", "voc2007": "VOC2007",
+               "defect": "DataB", "medical": ""}[cfg.dataset]
+        sets = os.path.join(args.data_root, cfg.dataset_path, sub,
+                            "ImageSets", "Segmentation")
         train_ids = read_split(os.path.join(sets, "train.txt"))
-        val_ids = read_split(os.path.join(sets, "val.txt"))
+        val_path = os.path.join(sets, "val.txt")
+        val_ids = read_split(val_path) if os.path.exists(val_path) else []
     fit(cfg, train_ids, val_ids, base_dir=args.data_root)
 
 

@@ -33,3 +33,17 @@ def summarize(model_name: str, input_shape=(512, 512), num_classes: int = 21,
         print(f"Total params:  {params:,}")
         print(f"Total GFLOPs:  {flops / 1e9:.3f}")
     return {"params": params, "flops": flops}
+
+
+def summarize_all(input_shape=(256, 256), num_classes: int = 4):
+    """Params/GFLOPs table over the whole zoo (the get_parameters.py /
+    test.py model-comparison counterpart)."""
+    from tpu_unet.models.registry import MODELS
+
+    rows = {}
+    print(f"{'model':32s} {'params':>12s} {'GFLOPs':>10s}")
+    for name in sorted(MODELS):
+        res = summarize(name, input_shape, num_classes, verbose=False)
+        rows[name] = res
+        print(f"{name:32s} {res['params']:>12,d} {res['flops'] / 1e9:>10.2f}")
+    return rows
