@@ -52,6 +52,30 @@ def test_fused_final_argmax_matches_reference():
     np.testing.assert_array_equal(ours, ref)
 
 
+def test_fused_final_argmax_hist():
+    from tpu_unet.kernels.postprocess import fused_final_argmax_hist
+
+    rng = np.random.RandomState(4)
+    feat = rng.randn(2, 32, 32, 64).astype("float32")
+    kern = rng.randn(1, 1, 64, 21).astype("float32")
+    bias = rng.randn(21).astype("float32")
+    masks, hist = fused_final_argmax_hist(
+        jnp.asarray(feat), jnp.asarray(kern), jnp.asarray(bias), 21,
+        interpret=True)
+    masks, hist = np.asarray(masks), np.asarray(hist)
+    ref = (feat @ kern.reshape(64, 21) + bias).argmax(-1)
+    np.testing.assert_array_equal(masks, ref)
+    ref_hist = np.stack([(ref[i][..., None] == np.arange(21)).sum((0, 1))
+                         for i in range(2)])
+    np.testing.assert_array_equal(hist, ref_hist)
+    # fallback path (odd sizes)
+    m2, h2 = fused_final_argmax_hist(
+        jnp.asarray(feat[:, :10, :10]), jnp.asarray(kern),
+        jnp.asarray(bias), 21, interpret=True)
+    assert np.asarray(m2).shape == (2, 10, 10)
+    assert np.asarray(h2).sum() == 200
+
+
 def test_quantization_roundtrip():
     from tpu_unet.models.registry import build_model, init_model
     from tpu_unet.tools.quantization import (quantization_report,

@@ -106,6 +106,72 @@ def fused_final_argmax(features, kernel, bias, interpret: bool = False):
     return out[:rows, 0].reshape(n, h, w)
 
 
+def _make_final_argmax_hist_kernel(block: int, per_img: int):
+    def kernel(feat_ref, w_ref, b_ref, mask_ref, hist_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+
+        x = feat_ref[...].astype(jnp.float32)
+        logits = jnp.dot(x, w_ref[...].astype(jnp.float32),
+                         preferred_element_type=jnp.float32) + b_ref[...]
+        cls = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+        mask_ref[...] = cls
+        c = hist_ref.shape[-1]
+        onehot = (cls == jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+                  ).astype(jnp.float32)
+        counts = jnp.sum(onehot, axis=0, keepdims=True)
+        img = i * block // per_img
+        hist_ref[pl.ds(img, 1), :] += counts
+
+    return kernel
+
+
+def fused_final_argmax_hist(features, kernel, bias, num_classes: int,
+                            interpret: bool = False):
+    """The whole inference tail in one Pallas pass: final 1×1 conv →
+    per-pixel argmax → mask write + per-image class-histogram accumulation.
+    Neither the logit map nor a histogram intermediate touches HBM.
+
+    Requires the per-image pixel count to be a multiple of the row block
+    (true for the 2^k image sizes this stack uses); falls back to the
+    separate ops otherwise.
+    """
+    n, h, w, f = features.shape
+    kern = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
+    c = kern.shape[-1]
+    rows = n * h * w
+    block = 1024
+    per_img = h * w
+    if per_img % block or rows % block:
+        masks = fused_final_argmax(features, kernel, bias, interpret)
+        classes = jnp.arange(c, dtype=jnp.int32)
+        hist = (masks[..., None] == classes).sum(axis=(1, 2))
+        return masks, hist.astype(jnp.float32)
+    flat = features.reshape(rows, f)
+    masks, hist = pl.pallas_call(
+        _make_final_argmax_hist_kernel(block, per_img),
+        out_shape=(jax.ShapeDtypeStruct((rows, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((n, c), jnp.float32)),
+        grid=(rows // block,),
+        in_specs=[
+            pl.BlockSpec((block, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(flat, kern, bias.reshape(1, c))
+    return masks[:, 0].reshape(n, h, w), hist
+
+
 def _palette_blend_kernel(mask_ref, img_ref, palette_ref, alpha_ref, out_ref):
     """mask (rows,1) int32 + original RGB (rows,3) + palette (C,3) →
     blended uint8 RGB (rows,3): out = img*(1-a) + palette[mask]*a
