@@ -139,7 +139,9 @@ class EarlyStopping:
             self.best = metric
             self.counter = 0
             if state is not None:
-                self.best_state = state
+                # state may be a thunk so the (host-copy) snapshot is only
+                # materialized on improvement
+                self.best_state = state() if callable(state) else state
         else:
             self.counter += 1
             if self.counter >= self.patience:

@@ -244,8 +244,12 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
             save_variables(os.path.join(cfg.save_dir, "last_epoch_weights.msgpack"),
                            variables_now)
 
-        if stopper is not None and nvb and stopper(
-                vloss, {"params": state.params, "batch_stats": state.batch_stats}):
+        # best-state snapshots must be host-resident (the next train step
+        # donates, i.e. deletes, the current device buffers) and are only
+        # materialized on improvement
+        snapshot = (lambda s=state: jax.tree_util.tree_map(
+            np.asarray, {"params": s.params, "batch_stats": s.batch_stats}))
+        if stopper is not None and nvb and stopper(vloss, snapshot):
             if verbose:
                 print(f"early stopping at epoch {epoch + 1}")
             break
