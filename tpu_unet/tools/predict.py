@@ -47,26 +47,39 @@ def predict_dir_batched(wrapper, in_dir: str, out_dir: str,
 
     from tpu_unet.data.native import load_letterbox_batch
 
+    import concurrent.futures as cf
+
     os.makedirs(out_dir, exist_ok=True)
     names = sorted(f for f in os.listdir(in_dir)
                    if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
     if limit:
         names = names[:limit]
     h, w = wrapper.input_shape
-    done = 0
-    for i in range(0, len(names), batch_size):
-        chunk = names[i:i + batch_size]
+
+    def load_chunk(chunk):
         paths = [os.path.join(in_dir, n) for n in chunk]
-        batch, nws, nhs = load_letterbox_batch(paths, h, w, n_threads)
+        batch, _, _ = load_letterbox_batch(paths, h, w, n_threads)
         if len(chunk) < batch_size:  # pad to the compiled shape
             pad = np.zeros((batch_size - len(chunk), h, w, 3), np.uint8)
             batch = np.concatenate([batch, pad])
-        masks = wrapper.batch_infer(batch)[: len(chunk)]
-        for name, mask in zip(chunk, masks):
-            stem = os.path.splitext(name)[0]
-            Image.fromarray(mask.astype(np.uint8)).save(
-                os.path.join(out_dir, stem + ".png"))
-        done += len(chunk)
+        return batch
+
+    chunks = [names[i:i + batch_size]
+              for i in range(0, len(names), batch_size)]
+    done = 0
+    # double-buffered: decode chunk i+1 on host while the TPU runs chunk i
+    with cf.ThreadPoolExecutor(1) as pool:
+        nxt = pool.submit(load_chunk, chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            batch = nxt.result()
+            if ci + 1 < len(chunks):
+                nxt = pool.submit(load_chunk, chunks[ci + 1])
+            masks = wrapper.batch_infer(batch)[: len(chunk)]
+            for name, mask in zip(chunk, masks):
+                stem = os.path.splitext(name)[0]
+                Image.fromarray(mask.astype(np.uint8)).save(
+                    os.path.join(out_dir, stem + ".png"))
+            done += len(chunk)
     return done
 
 

@@ -64,12 +64,33 @@ def partial_load(template: dict, loaded: dict, verbose: bool = True) -> dict:
     return out
 
 
+def save_orbax(path: str, variables: dict):
+    """Orbax-backed checkpoint — the multi-host/sharded-array option
+    (each host writes its own shards; msgpack saves require host-gathered
+    arrays).  Path must be a directory."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path),
+                   jax.tree_util.tree_map(np.asarray, variables), force=True)
+
+
+def load_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
 def load_any(path: str, model_name: Optional[str] = None) -> dict:
-    """Load a checkpoint: .pth via the torch converter, else msgpack."""
+    """Load a checkpoint: .pth via the torch converter, orbax directories,
+    else msgpack."""
     if path.endswith(".pth"):
         from tpu_unet.infer.convert import convert_pth
 
         if model_name is None:
             raise ValueError("model_name required to convert a .pth checkpoint")
         return convert_pth(path, model_name)
+    if os.path.isdir(path):
+        return load_orbax(path)
     return load_variables(path)
