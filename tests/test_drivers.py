@@ -32,6 +32,27 @@ def test_video_mode(tmp_path, wrapper):
     assert os.path.getsize(dst) > 0
 
 
+def test_video_batched(tmp_path, wrapper):
+    cv2 = pytest.importorskip("cv2")
+    from tpu_unet.tools.predict import predict_video_batched
+
+    src = str(tmp_path / "in.avi")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 5, (48, 32))
+    rng = np.random.RandomState(1)
+    for _ in range(10):
+        w.write(rng.randint(0, 255, (32, 48, 3)).astype("uint8"))
+    w.release()
+    dst = str(tmp_path / "out.avi")
+    frames = predict_video_batched(wrapper, src, dst, batch_size=4,
+                                   video_fps=5)
+    assert frames == 10
+    check = cv2.VideoCapture(dst)
+    n = 0
+    while check.read()[0]:
+        n += 1
+    assert n == 10
+
+
 def test_evaluate_driver(tmp_path, wrapper):
     from tpu_unet.eval.driver import evaluate, show_results
 

@@ -120,6 +120,87 @@ def predict_video(wrapper, video_path=0, video_save_path: str = "",
     return frames, fps
 
 
+def predict_video_batched(wrapper, video_path, video_save_path: str,
+                          batch_size: int = 8, video_fps: float = 25.0,
+                          max_frames: Optional[int] = None,
+                          alpha: float = 0.7):
+    """Streaming video inference as a pipelined TPU graph (the BASELINE
+    'video mode as a pipelined jit' config): frames are letterboxed on
+    host in a reader thread, run through one fixed-shape forward+argmax+
+    palette-blend graph per batch, and written back at the original size.
+
+    The blend itself is the fused Pallas palette kernel on TPU (one VMEM
+    pass over mask+frame), numpy elsewhere.
+    """
+    import concurrent.futures as cf
+
+    import cv2
+    import jax
+    import numpy as np
+
+    h, w = wrapper.input_shape
+    capture = cv2.VideoCapture(video_path)
+    ow = int(capture.get(cv2.CAP_PROP_FRAME_WIDTH))
+    oh = int(capture.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    out = cv2.VideoWriter(video_save_path, cv2.VideoWriter_fourcc(*"XVID"),
+                          video_fps, (ow, oh))
+    colors = np.asarray(wrapper.colors, np.uint8)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    def read_batch():
+        frames = []
+        while len(frames) < batch_size:
+            ok, frame = capture.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        return frames
+
+    def render(frames, masks):
+        for frame, mask in zip(frames, masks):
+            # resize mask back to original frame size (nearest) + blend
+            mask_full = cv2.resize(mask.astype(np.uint8), (ow, oh),
+                                   interpolation=cv2.INTER_NEAREST)
+            seg = colors[mask_full % len(colors)]
+            blended = (frame.astype(np.float32) * (1 - alpha)
+                       + seg.astype(np.float32) * alpha)
+            out.write(cv2.cvtColor(np.round(blended).astype(np.uint8),
+                                   cv2.COLOR_RGB2BGR))
+
+    done = 0
+    with cf.ThreadPoolExecutor(1) as pool:
+        nxt = pool.submit(read_batch)
+        while True:
+            frames = nxt.result()
+            if not frames:
+                break
+            nxt = pool.submit(read_batch)  # overlap decode with TPU compute
+            batch = np.stack([cv2.resize(f, (w, h),
+                                         interpolation=cv2.INTER_LINEAR)
+                              for f in frames])
+            if len(frames) < batch_size:
+                pad = np.zeros((batch_size - len(frames), h, w, 3), np.uint8)
+                batch = np.concatenate([batch, pad])
+            masks = wrapper.batch_infer(batch)[: len(frames)]
+            if on_tpu and (oh, ow) == (h, w):
+                # frame size == model size → the whole render happens on
+                # device in the fused Pallas palette+blend kernel
+                from tpu_unet.kernels.postprocess import fused_mask_palette
+
+                blended = np.asarray(fused_mask_palette(
+                    masks, np.stack(frames), wrapper.colors, alpha))
+                for fr in blended:
+                    out.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+            else:
+                render(frames, masks)
+            done += len(frames)
+            if max_frames and done >= max_frames:
+                break
+    capture.release()
+    out.release()
+    return done
+
+
 def fps_test(wrapper, image_path: str, test_interval: int = 100):
     """reference: predict.py:161-164."""
     image = Image.open(image_path)
