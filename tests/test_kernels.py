@@ -76,6 +76,17 @@ def test_fused_final_argmax_hist():
     assert np.asarray(h2).sum() == 200
 
 
+def test_pallas_upsample2x_exact():
+    from tpu_unet.kernels.upsample import pallas_upsample2x
+    from tpu_unet.nn.resize import upsample2x
+
+    for shape in [(2, 8, 8, 16), (1, 16, 12, 8)]:
+        x = np.random.RandomState(0).rand(*shape).astype("float32")
+        ours = np.asarray(pallas_upsample2x(jnp.asarray(x), interpret=True))
+        ref = np.asarray(upsample2x(jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_quantization_roundtrip():
     from tpu_unet.models.registry import build_model, init_model
     from tpu_unet.tools.quantization import (quantization_report,
