@@ -24,6 +24,42 @@ def trace(log_dir: str = "/tmp/tpu_unet_trace"):
         print(f"profiler trace written to {log_dir}")
 
 
+def summarize_xplane(xplane_path: str, top: int = 15):
+    """Per-op exclusive device-time summary from a jax.profiler trace.
+
+    Works around this image's tensorboard_plugin_profile/TF version mismatch
+    by parsing the XSpace proto directly (needs
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python when the fast proto
+    runtime rejects the generated code).  Returns {op_name: seconds} from
+    the device's "XLA Ops" line; prints the top entries.
+
+    Round-1 finding for the 512px VGG-UNet forward (3 iters traced):
+    102 ms fusions + 22 ms pure layout copies — the copies are the
+    resize-conv W↔C relayouts, ~17% of the step.
+    """
+    import collections
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane_path, "rb") as f:
+        xs.ParseFromString(f.read())
+    agg = collections.Counter()
+    for p in xs.planes:
+        if not p.name.startswith("/device:"):
+            continue
+        ev_names = p.event_metadata
+        for line in p.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                agg[ev_names[ev.metadata_id].name] += ev.duration_ps
+    result = {k: v / 1e12 for k, v in agg.items()}
+    for name, sec in sorted(result.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{sec * 1e3:9.2f} ms  {name[:110]}")
+    return result
+
+
 def measure_throughput(fn, args, batch_size: int, iters: int = 20,
                        warmup: int = 2):
     """steps/sec and images/sec/chip for a jitted step."""
