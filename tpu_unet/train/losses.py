@@ -33,14 +33,23 @@ def _match_size(logits, spatial):
 
 def _per_pixel_weighted_ce(logits, target, cls_weights, num_classes):
     """Returns (per-pixel weighted NLL, per-pixel weight) with ignored
-    pixels carrying weight 0."""
+    pixels carrying weight 0.
+
+    TPU note: implemented with one-hot reductions, not gathers — the
+    take_along_axis / table-lookup formulation lowered to per-pixel
+    dynamic-gathers costing 46 ms/step at 512px batch 8 (22% of the whole
+    train step, seen in the device trace); the one-hot compare+reduce is
+    pure VPU.
+    """
     logits = _match_size(logits, target.shape[1:3])
     logits = logits.astype(jnp.float32)
     valid = target < num_classes
     t = jnp.where(valid, target, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
-    w = jnp.asarray(cls_weights, jnp.float32)[t] * valid.astype(jnp.float32)
+    onehot = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
+    nll = -(logp * onehot).sum(axis=-1)
+    w = (onehot @ jnp.asarray(cls_weights, jnp.float32)) \
+        * valid.astype(jnp.float32)
     return nll * w, w
 
 
