@@ -29,6 +29,7 @@ cfg = get_preset(
     "medical", model="ultralight", input_shape=(256, 256), dice_loss=True,
     pretrained_backbone=False, freeze_train=False, freeze_epoch=0,
     unfreeze_epoch=EPOCHS, freeze_batch_size=8, unfreeze_batch_size=8,
+    eval_flag=True,  # the medical preset defaults to no-val (fit_one_epoch_no_val)
     save_dir=SAVE_DIR, save_period=50, dataset_path=MED)
 fit(cfg, train_ids, val_ids, base_dir="/")
 

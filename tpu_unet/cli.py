@@ -89,11 +89,16 @@ def cmd_predict(args):
                                   batch_size=args.batch_size)
         print(f"processed {n} images -> {args.output}")
     elif args.mode == "single":
+        out_path = args.output
+        if not os.path.splitext(out_path)[1]:
+            out_path += ".jpg"  # PIL needs an extension to pick a format
         out = u.detect_image(Image.open(args.input), count=args.count)
-        out.save(args.output)
-        print(f"saved {args.output}")
+        out.save(out_path)
+        print(f"saved {out_path}")
     elif args.mode == "video":
-        frames, fps = P.predict_video(u, args.input or 0, args.output)
+        # a numeric --input selects a camera index (reference: predict.py:118)
+        src = int(args.input) if args.input.isdigit() else args.input
+        frames, fps = P.predict_video(u, src, args.output)
         print(f"{frames} frames, {fps:.1f} fps")
     elif args.mode == "fps":
         P.fps_test(u, args.input, args.test_interval)

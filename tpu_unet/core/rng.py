@@ -6,6 +6,8 @@ key threaded through named streams is the whole story.
 """
 from __future__ import annotations
 
+import zlib
+
 import jax
 
 
@@ -17,7 +19,9 @@ class RngStream:
 
     def step_key(self, step: int, name: str = "dropout"):
         k = jax.random.fold_in(self.root, step)
-        return jax.random.fold_in(k, hash(name) % (2**31))
+        # crc32, not hash(): Python's str hash is salted per process, which
+        # would desync multi-host replicas and break run-to-run determinism
+        return jax.random.fold_in(k, zlib.crc32(name.encode()) % (2**31))
 
     def split(self, n: int = 2):
         keys = jax.random.split(self.root, n + 1)

@@ -1,5 +1,5 @@
-"""Batching loader with deterministic per-host sharding and background
-prefetch.
+"""Batching loader with deterministic per-host sharding and bounded
+background prefetch.
 
 TPU-native replacement for torch DataLoader + DistributedSampler
 (reference: train.py:421-439): each host deterministically owns an
@@ -8,13 +8,19 @@ interleaved slice of the epoch permutation (what DistributedSampler's
 processes (the heavy lifting is cv2/PIL which release the GIL), and batches
 come out as NHWC numpy ready for ``jax.device_put`` onto a batch-sharded
 mesh.
+
+Readahead is bounded by ``prefetch`` batches: the producer blocks before
+submitting more work, so host memory holds at most
+``prefetch + 1`` decoded batches regardless of how far the consumer lags,
+and abandoning the iterator early (e.g. fit's max_steps_per_epoch) only
+waits for the in-flight batches, not the rest of the epoch.
 """
 from __future__ import annotations
 
 import concurrent.futures as cf
 import threading
 from queue import Queue
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
@@ -37,7 +43,7 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.num_workers = num_workers
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -65,25 +71,31 @@ class Loader:
         def load_one(i):
             return self.dataset.__getitem__(int(i), epoch=epoch)
 
-        def batches():
+        def shards():
             for b in range(nb):
                 sl = order[b * self.global_batch:(b + 1) * self.global_batch]
                 # per-host interleaved shard of the global batch
                 yield sl[self.process_index::self.process_count]
 
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            pending = Queue()
-            it = batches()
-            stop = object()
+        pool = cf.ThreadPoolExecutor(self.num_workers)
+        pending: Queue = Queue(maxsize=self.prefetch)
+        stop = object()
+        abandoned = threading.Event()
 
-            def submit_all():
-                for sl in it:
-                    futs = [pool.submit(load_one, i) for i in sl]
-                    pending.put(futs)
-                pending.put(stop)
+        def submit_all():
+            for sl in shards():
+                if abandoned.is_set():
+                    break
+                futs = [pool.submit(load_one, i) for i in sl]
+                # blocks when `prefetch` batches are already queued
+                pending.put(futs)
+                if abandoned.is_set():
+                    break
+            pending.put(stop)
 
-            t = threading.Thread(target=submit_all, daemon=True)
-            t.start()
+        producer = threading.Thread(target=submit_all, daemon=True)
+        producer.start()
+        try:
             while True:
                 futs = pending.get()
                 if futs is stop:
@@ -92,4 +104,13 @@ class Loader:
                 imgs = np.stack([s[0] for s in samples]).astype(np.uint8)
                 lbls = np.stack([s[1] for s in samples]).astype(np.int32)
                 yield {"image": imgs, "label": lbls}
-            t.join()
+        finally:
+            abandoned.set()
+            # unblock the producer if it is waiting on a full queue
+            while not pending.empty():
+                try:
+                    pending.get_nowait()
+                except Exception:
+                    break
+            producer.join(timeout=30)
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -77,12 +77,11 @@ def load_letterbox_batch(paths: Sequence[str], out_h: int, out_w: int,
     if lib is None:
         from PIL import Image
 
-        from tpu_unet.data.transforms import cvt_rgb
-        from tpu_unet.infer.wrapper import _letterbox_image
+        from tpu_unet.data.transforms import cvt_rgb, letterbox_image
 
         for i, p in enumerate(paths):
-            boxed, nw, nh = _letterbox_image(cvt_rgb(Image.open(p)),
-                                             (out_h, out_w))
+            boxed, nw, nh = letterbox_image(cvt_rgb(Image.open(p)),
+                                            (out_h, out_w))
             out[i] = np.asarray(boxed, np.uint8)
             nws[i], nhs[i] = nw, nh
         return out, nws, nhs

@@ -35,16 +35,26 @@ def cvt_rgb(image: Image.Image) -> Image.Image:
     return image.convert("RGB")
 
 
-def letterbox_pair(image: Image.Image, label: Image.Image, size):
-    """Aspect-preserving resize + centered paste on gray(128) canvas
-    (reference: utils/dataloader.py:66-79). ``size`` = (h, w)."""
+def letterbox_image(image: Image.Image, size):
+    """Aspect-preserving BICUBIC resize + centered paste on gray(128)
+    canvas (reference: utils/utils.py:22-34). ``size`` = (h, w); returns
+    (canvas, nw, nh). Single source of truth — the inference wrapper and
+    the native-loader fallback both use it."""
     h, w = size
     iw, ih = image.size
     scale = min(w / iw, h / ih)
     nw, nh = int(iw * scale), int(ih * scale)
-    image = image.resize((nw, nh), Image.BICUBIC)
-    new_image = Image.new("RGB", (w, h), (128, 128, 128))
-    new_image.paste(image, ((w - nw) // 2, (h - nh) // 2))
+    resized = image.resize((nw, nh), Image.BICUBIC)
+    canvas = Image.new("RGB", (w, h), (128, 128, 128))
+    canvas.paste(resized, ((w - nw) // 2, (h - nh) // 2))
+    return canvas, nw, nh
+
+
+def letterbox_pair(image: Image.Image, label: Image.Image, size):
+    """Image + label letterbox (reference: utils/dataloader.py:66-79).
+    ``size`` = (h, w)."""
+    h, w = size
+    new_image, nw, nh = letterbox_image(image, size)
     label = label.resize((nw, nh), Image.NEAREST)
     new_label = Image.new("L", (w, h), 0)
     new_label.paste(label, ((w - nw) // 2, (h - nh) // 2))

@@ -15,9 +15,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def _hist_one(gt, pred, num_classes_onehot_gt, num_classes_onehot_pred):
-    return jnp.einsum("pc,pk->ck", num_classes_onehot_gt, num_classes_onehot_pred)
+# f32 accumulation is exact up to 2^24 per cell; chunk the pixel axis so a
+# single huge image (e.g. 6000×4000, mostly one class) cannot silently
+# saturate a cell, and accumulate chunk results in int64 on host
+_CHUNK = 1 << 22
+
+
+def _hist_chunk(gt, pred, num_classes: int):
+    valid = (gt >= 0) & (gt < num_classes)
+    g = jnp.where(valid, gt, num_classes)
+    og = jax.nn.one_hot(g, num_classes + 1, dtype=jnp.float32)[:, :num_classes]
+    op = jax.nn.one_hot(jnp.clip(pred, 0, num_classes - 1), num_classes,
+                        dtype=jnp.float32)
+    return jnp.einsum("pc,pk->ck", og, op).astype(jnp.int32)
 
 
 def confusion_matrix(gt, pred, num_classes: int):
@@ -26,15 +36,15 @@ def confusion_matrix(gt, pred, num_classes: int):
     (reference: utils/utils_metrics.py:34-43)."""
     gt = jnp.asarray(gt).reshape(-1)
     pred = jnp.asarray(pred).reshape(-1)
-    valid = (gt >= 0) & (gt < num_classes)
-    # invalid rows one-hot to all-zeros via class index = num_classes
-    g = jnp.where(valid, gt, num_classes)
-    og = jax.nn.one_hot(g, num_classes + 1, dtype=jnp.float32)[:, :num_classes]
-    op = jax.nn.one_hot(jnp.clip(pred, 0, num_classes - 1), num_classes,
-                        dtype=jnp.float32)
-    # per-call counts are ≤ H·W (< 2^24), exact in f32; host accumulation
-    # of many calls uses numpy int64
-    return jnp.einsum("pc,pk->ck", og, op).astype(jnp.int32)
+    n = gt.shape[0]
+    if n <= _CHUNK:
+        return _hist_chunk(gt, pred, num_classes)
+    hist = np.zeros((num_classes, num_classes), np.int64)
+    for s in range(0, n, _CHUNK):
+        hist += np.asarray(
+            _hist_chunk(gt[s:s + _CHUNK], pred[s:s + _CHUNK], num_classes),
+            np.int64)
+    return hist
 
 
 def per_class_iou(hist):

@@ -47,16 +47,8 @@ VOC_COLORS = [
 ]
 
 
-def _letterbox_image(image: Image.Image, size):
-    """reference: utils/utils.py:22-34 — returns (letterboxed, nw, nh)."""
-    w, h = size[1], size[0]
-    iw, ih = image.size
-    scale = min(w / iw, h / ih)
-    nw, nh = int(iw * scale), int(ih * scale)
-    resized = image.resize((nw, nh), Image.BICUBIC)
-    canvas = Image.new("RGB", (w, h), (128, 128, 128))
-    canvas.paste(resized, ((w - nw) // 2, (h - nh) // 2))
-    return canvas, nw, nh
+# single letterbox implementation lives in data/transforms.py
+from tpu_unet.data.transforms import letterbox_image as _letterbox_image  # noqa: E402
 
 
 class Unet:

@@ -126,11 +126,13 @@ def predict_video_batched(wrapper, video_path, video_save_path: str,
                           alpha: float = 0.7):
     """Streaming video inference as a pipelined TPU graph (the BASELINE
     'video mode as a pipelined jit' config): frames are letterboxed on
-    host in a reader thread, run through one fixed-shape forward+argmax+
-    palette-blend graph per batch, and written back at the original size.
+    host in a reader thread (cv2 bilinear + gray canvas — the same geometry
+    as the training letterbox; the per-frame ``predict_video`` path keeps
+    PIL BICUBIC exactness), run through one fixed-shape forward+argmax
+    batch graph, and written back at the original size.
 
-    The blend itself is the fused Pallas palette kernel on TPU (one VMEM
-    pass over mask+frame), numpy elsewhere.
+    When the frame size equals the model size the palette+blend render runs
+    on device in the fused Pallas kernel.
     """
     import concurrent.futures as cf
 
@@ -147,6 +149,16 @@ def predict_video_batched(wrapper, video_path, video_save_path: str,
     colors = np.asarray(wrapper.colors, np.uint8)
     on_tpu = jax.default_backend() in ("tpu", "axon")
 
+    scale = min(w / ow, h / oh)
+    nw, nh = int(ow * scale), int(oh * scale)
+    dx, dy = (w - nw) // 2, (h - nh) // 2
+
+    def letterbox(frame):
+        resized = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        canvas = np.full((h, w, 3), 128, np.uint8)
+        canvas[dy:dy + nh, dx:dx + nw] = resized
+        return canvas
+
     def read_batch():
         frames = []
         while len(frames) < batch_size:
@@ -158,8 +170,9 @@ def predict_video_batched(wrapper, video_path, video_save_path: str,
 
     def render(frames, masks):
         for frame, mask in zip(frames, masks):
-            # resize mask back to original frame size (nearest) + blend
-            mask_full = cv2.resize(mask.astype(np.uint8), (ow, oh),
+            # crop the gray bars, then resize the mask to the frame size
+            content = mask[dy:dy + nh, dx:dx + nw].astype(np.uint8)
+            mask_full = cv2.resize(content, (ow, oh),
                                    interpolation=cv2.INTER_NEAREST)
             seg = colors[mask_full % len(colors)]
             blended = (frame.astype(np.float32) * (1 - alpha)
@@ -175,9 +188,7 @@ def predict_video_batched(wrapper, video_path, video_save_path: str,
             if not frames:
                 break
             nxt = pool.submit(read_batch)  # overlap decode with TPU compute
-            batch = np.stack([cv2.resize(f, (w, h),
-                                         interpolation=cv2.INTER_LINEAR)
-                              for f in frames])
+            batch = np.stack([letterbox(f) for f in frames])
             if len(frames) < batch_size:
                 pad = np.zeros((batch_size - len(frames), h, w, 3), np.uint8)
                 batch = np.concatenate([batch, pad])

@@ -138,13 +138,15 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
                                         loaded.get("batch_stats", {}), verbose),
         }
 
+    from tpu_unet.core.precision import resolve
+
     step_cfg = StepConfig(
         num_classes=cfg.num_classes,
         cls_weights=tuple(cfg.resolved_cls_weights()),
         use_focal=cfg.focal_loss,
         use_dice=cfg.dice_loss,
         aux_weights=tuple(cfg.aux_weights),
-        compute_dtype=jnp.bfloat16 if cfg.fp16 else jnp.float32,
+        compute_dtype=resolve(cfg.fp16).compute_dtype,
     )
     train_step = make_train_step(model, step_cfg)
     eval_step = make_eval_step(model, step_cfg)
@@ -218,11 +220,14 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
                     break
             vloss /= max(nvb, 1)
 
-        if verbose and jax.process_index() == 0:
-            print(f"Epoch {epoch + 1}/{cfg.unfreeze_epoch}: lr {lr:.3e} "
-                  f"loss {tloss:.4f} val_loss {vloss:.4f}")
-            if loss_history:
-                loss_history.append(epoch, tloss, vloss if nvb else None)
+        if jax.process_index() == 0:
+            # logging/printing is governed by verbose; checkpoint
+            # persistence is not — silencing output must never lose weights
+            if verbose:
+                print(f"Epoch {epoch + 1}/{cfg.unfreeze_epoch}: lr {lr:.3e} "
+                      f"loss {tloss:.4f} val_loss {vloss:.4f}")
+                if loss_history:
+                    loss_history.append(epoch, tloss, vloss if nvb else None)
             if wandb_logger is not None:
                 wandb_logger.log_epoch(epoch, loss=tloss, val_loss=vloss,
                                        lr=lr)
