@@ -108,6 +108,32 @@ PARITY_MODELS = sorted(set(CONVERTERS)
                        - {"sk_ultralight", "improved_ultralight", "self_net"})
 
 
+def test_self_net_forward_parity():
+    """Unet_vgg / self_net lives in a file named 'self_net().py' — load it
+    by path (reference: self_net().py:23-72)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_self_net", os.path.join(REF, "self_net().py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tm = mod.Unet_vgg(num_classes=4)
+    tm.eval()
+    sd = {k: np.asarray(v.cpu().numpy()) for k, v in tm.state_dict().items()
+          if "num_batches_tracked" not in k}
+    variables = CONVERTERS["self_net"](sd)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 32, 32, 3).astype("float32")
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ty = ty.numpy().transpose(0, 2, 3, 1)
+    fm = build_model("self_net", 4)
+    fy = np.asarray(fm.apply(variables, x, False))
+    assert fy.shape == ty.shape == (1, 64, 64, 4)  # faithful 2× output
+    np.testing.assert_allclose(fy, ty, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("name", PARITY_MODELS)
 def test_forward_parity(name):
     nc = 4
