@@ -180,7 +180,7 @@ def pallas_upsample2x_v2(x, block_rows: int = 0, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # h weights (2H, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w delta mask (2W, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w weights (2W, 1)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # padded x in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # padded x in HBM
         ],
         out_specs=pl.BlockSpec((1, bh, out_w, c), lambda b_, i: (b_, i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -223,7 +223,7 @@ def pallas_upsample2x(x, block_rows: int = 32, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.SMEM),   # h weights (2H, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w delta mask (2W, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w weights (2W, 1)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM
         ],
         out_specs=pl.BlockSpec((1, bh, out_w, c), lambda b_, i: (b_, i, 0, 0),
                                memory_space=pltpu.VMEM),
