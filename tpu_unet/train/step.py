@@ -103,6 +103,19 @@ class StepConfig:
     compute_dtype: Any = jnp.float32
 
 
+def _cast_params(params, compute_dtype):
+    """Mixed precision: f32 master params are cast to the compute dtype at
+    the jit boundary (the torch-autocast half of AMP — without it, f32
+    params promote every conv back to f32: the 512px train step measured
+    166 ms/step in f32 vs bf16 compute).  Gradients flow through the cast,
+    so optimizer updates stay in f32."""
+    if compute_dtype == jnp.float32:
+        return params
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype)
+        if x.dtype == jnp.float32 else x, params)
+
+
 def _prepare_batch(batch, num_classes, compute_dtype):
     """uint8 HWC image + int label map → normalized input, target, one-hot."""
     imgs = batch["image"].astype(jnp.float32) / 255.0
@@ -136,7 +149,8 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
 
         def loss_fn(params):
             outputs, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": _cast_params(params, cfg.compute_dtype),
+                 "batch_stats": state.batch_stats},
                 imgs, True, rngs={"dropout": dropout_key},
                 mutable=["batch_stats"])
             loss, main = _total_loss(outputs, target, onehot, cfg)
@@ -159,7 +173,8 @@ def make_eval_step(model, cfg: StepConfig) -> Callable:
         imgs, target, onehot = _prepare_batch(batch, cfg.num_classes,
                                               cfg.compute_dtype)
         outputs = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": _cast_params(state.params, cfg.compute_dtype),
+             "batch_stats": state.batch_stats},
             imgs, False)
         loss, main = _total_loss(outputs, target, onehot,
                                  dataclasses.replace(cfg, aux_weights=()))
