@@ -19,6 +19,10 @@ class TrainConfig:
     input_shape: Tuple[int, int] = (512, 512)
     model_path: str = ""                  # resume/pretrain checkpoint
     pretrained_backbone: bool = False
+    # explicit path to a torchvision vgg16/resnet50 ImageNet .pth; when
+    # empty, resolved via $TPU_UNET_PRETRAINED_DIR or ./model_data
+    # (reference downloads there, nets/vgg.py:69 / nets/resnet.py:181)
+    pretrained_path: str = ""
     # epochs & phases (reference: train.py:96-177)
     init_epoch: int = 0
     freeze_epoch: int = 50

@@ -458,6 +458,104 @@ def convert_unet(sd_raw, backbone: str = "vgg", force_up_conv: bool = False) -> 
     return t.variables()
 
 
+def convert_torchvision_backbone(sd_raw: Dict[str, np.ndarray],
+                                 backbone: str) -> dict:
+    """ImageNet torchvision ``vgg16``/``resnet50`` state_dict → the backbone
+    variables subtree of our UNet models.
+
+    The reference downloads these checkpoints and loads them into its
+    encoder at construction (nets/vgg.py:67-75, nets/resnet.py:178-181,
+    rank-0 download train.py:271-277), deleting the classifier/fc heads.
+    torchvision's module names match the reference's encoder exactly, so
+    the key layout here is ``features.N.*`` (vgg) / ``conv1, bn1,
+    layer{1..4}.{i}.*, downsample.*`` (resnet50) — i.e. the reference's
+    UNet keys minus the ``vgg.``/``resnet.`` prefix, plus head keys that
+    we drop just as the reference ``del``s those modules.
+    """
+    sd_raw = {k: v for k, v in sd_raw.items()
+              if not k.startswith(("classifier.", "fc.", "avgpool."))}
+    sd = _SD(sd_raw)
+    t = _Tree()
+    if backbone == "vgg":
+        for k in list(sd.sd):
+            if k.startswith("features.") and k.endswith(".weight"):
+                idx = k.split(".")[1]
+                t.conv(sd, f"features.{idx}", f"vgg/features_{idx}")
+    elif backbone == "resnet50":
+        t.conv(sd, "conv1", "resnet/conv1")
+        t.bn(sd, "bn1", "resnet/bn1")
+        for li, blocks in enumerate((3, 4, 6, 3), start=1):
+            for bi in range(blocks):
+                tp = f"layer{li}.{bi}"
+                fp = f"resnet/layer{li}_{bi}"
+                for ci in (1, 2, 3):
+                    t.conv(sd, f"{tp}.conv{ci}", f"{fp}/conv{ci}")
+                    t.bn(sd, f"{tp}.bn{ci}", f"{fp}/bn{ci}")
+                if sd.has(f"{tp}.downsample.0.weight"):
+                    t.conv(sd, f"{tp}.downsample.0", f"{fp}/downsample_0")
+                    t.bn(sd, f"{tp}.downsample.1", f"{fp}/downsample_1")
+    else:
+        raise KeyError(f"no ImageNet backbone named {backbone!r}")
+    _check_consumed(sd)
+    return t.variables()
+
+
+# models that carry an ImageNet-pretrainable encoder (reference: the only
+# `pretrained=` consumers are the canonical UNet and its self_net clone)
+BACKBONE_FOR_MODEL = {
+    "unet_vgg": "vgg",
+    "unet_resnet50": "resnet50",
+    "self_net": "vgg",
+}
+
+# canonical torchvision checkpoint filenames the reference downloads into
+# ./model_data (nets/vgg.py:69, nets/resnet.py:181)
+TORCHVISION_FILES = {
+    "vgg": "vgg16-397923af.pth",
+    "resnet50": "resnet50-19c8e357.pth",
+}
+
+
+def _strict_merge(dst: dict, src: dict, path: str = "") -> dict:
+    """Replace leaves of ``dst`` with ``src``, requiring identical tree
+    structure and leaf shapes (the backbone subtree must match exactly —
+    unlike `partial_load` there is nothing legitimate to skip)."""
+    if set(src) != set(dst):
+        raise ValueError(
+            f"backbone tree mismatch at {path or '/'}: "
+            f"extra={sorted(set(src) - set(dst))} "
+            f"missing={sorted(set(dst) - set(src))}")
+    out = {}
+    for k, v in dst.items():
+        if isinstance(v, dict):
+            out[k] = _strict_merge(v, src[k], f"{path}/{k}")
+        else:
+            if np.shape(v) != np.shape(src[k]):
+                raise ValueError(f"shape mismatch at {path}/{k}: "
+                                 f"{np.shape(v)} vs {np.shape(src[k])}")
+            out[k] = np.asarray(src[k])
+    return out
+
+
+def load_pretrained_backbone(variables: dict, path: str, model_name: str) -> dict:
+    """Load an ImageNet torchvision checkpoint into ``variables``' backbone
+    subtree (reference: pretrained=True flow, train.py:271-279)."""
+    if model_name not in BACKBONE_FOR_MODEL:
+        raise KeyError(
+            f"model {model_name!r} has no ImageNet-pretrainable backbone "
+            f"(only {sorted(BACKBONE_FOR_MODEL)})")
+    backbone = BACKBONE_FOR_MODEL[model_name]
+    bb = convert_torchvision_backbone(load_state_dict(path), backbone)
+    key = "vgg" if backbone == "vgg" else "resnet"
+    out = {k: dict(v) for k, v in variables.items()}
+    out["params"][key] = _strict_merge(variables["params"][key],
+                                       bb["params"][key], key)
+    if "batch_stats" in bb:
+        out["batch_stats"][key] = _strict_merge(
+            variables["batch_stats"][key], bb["batch_stats"][key], key)
+    return out
+
+
 def _check_consumed(sd: _SD):
     leftover = sd.unused()
     if leftover:

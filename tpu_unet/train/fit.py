@@ -99,6 +99,36 @@ def reinit_weights(variables: dict, seed: int = 0, init_type: str = "normal",
     return new
 
 
+def resolve_pretrained_path(cfg: TrainConfig, base_dir: str = ".") -> str:
+    """Locate the torchvision ImageNet checkpoint for ``cfg.model``, failing
+    loudly when absent — the reference auto-downloads (train.py:271-277);
+    this environment has no egress, so the file must be provided locally."""
+    from tpu_unet.infer.convert import BACKBONE_FOR_MODEL, TORCHVISION_FILES
+
+    if cfg.model not in BACKBONE_FOR_MODEL:
+        raise KeyError(
+            f"pretrained_backbone=True but model {cfg.model!r} has no "
+            f"ImageNet-pretrainable backbone (only "
+            f"{sorted(BACKBONE_FOR_MODEL)})")
+    if cfg.pretrained_path:
+        candidates = [cfg.pretrained_path]
+    else:
+        fname = TORCHVISION_FILES[BACKBONE_FOR_MODEL[cfg.model]]
+        dirs = []
+        if os.environ.get("TPU_UNET_PRETRAINED_DIR"):
+            dirs.append(os.environ["TPU_UNET_PRETRAINED_DIR"])
+        dirs.append(os.path.join(base_dir, "model_data"))
+        candidates = [os.path.join(d, fname) for d in dirs]
+    for path in candidates:
+        if os.path.isfile(path):
+            return path
+    raise FileNotFoundError(
+        f"pretrained_backbone=True but no ImageNet checkpoint found at "
+        f"{candidates} — download the torchvision file, place it there or "
+        f"set TrainConfig.pretrained_path / $TPU_UNET_PRETRAINED_DIR, or "
+        f"set pretrained_backbone=False to train from random init.")
+
+
 def make_datasets(cfg: TrainConfig, base_dir: str, train_ids, val_ids,
                   seed: int):
     ds_cls = DATASETS[cfg.dataset]
@@ -129,6 +159,13 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
     variables = init_model(model, cfg.input_shape, seed=cfg.seed, train=True)
     if not cfg.pretrained_backbone and not cfg.model_path:
         variables = reinit_weights(variables, seed=cfg.seed)
+    if cfg.pretrained_backbone:
+        from tpu_unet.infer.convert import load_pretrained_backbone
+
+        path = resolve_pretrained_path(cfg, base_dir)
+        if verbose:
+            print(f"Loading ImageNet backbone weights from {path}.")
+        variables = load_pretrained_backbone(variables, path, cfg.model)
     if cfg.model_path:
         loaded = load_any(cfg.model_path, cfg.model)
         variables = {
