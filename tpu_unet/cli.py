@@ -27,8 +27,12 @@ def _add_common(p):
 
 def cmd_train(args):
     from tpu_unet.configs.presets import get_preset
+    from tpu_unet.core.distributed import initialize
     from tpu_unet.data.datasets import read_split
     from tpu_unet.train.fit import fit
+
+    # multi-host init (no-op single-process; reference: train.py:254-266)
+    initialize()
 
     overrides = {}
     if args.model_path:

@@ -42,7 +42,9 @@ class Loader:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
-        self.num_workers = num_workers
+        # num_workers=0 means "no parallelism" (torch idiom): one thread
+        # still drives the same pipeline synchronously enough
+        self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.epoch = 0
 
