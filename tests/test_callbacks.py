@@ -50,3 +50,36 @@ def test_miou_eval_callback(tmp_path):
     miou = cb.on_epoch_end(1)
     assert miou == pytest.approx(1.0)
     assert os.path.exists(os.path.join(str(tmp_path), "epoch_miou.txt"))
+
+
+def test_miou_eval_callback_curve_pngs(tmp_path):
+    """Per-class IoU curve PNGs (reference: utils/callbacks.py:464-498)."""
+    ds = _FakeDataset()
+
+    def predict_zero(img):
+        return np.zeros(img.shape[:2], np.int32)
+
+    cb = MIoUEvalCallback(predict_zero, ds, 3, str(tmp_path), period=1,
+                          name_classes=["bg", "a", "b"])
+    cb.on_epoch_end(0)
+    cb.on_epoch_end(1)
+    assert os.path.exists(os.path.join(str(tmp_path), "epoch_miou.png"))
+    assert os.path.exists(os.path.join(str(tmp_path), "epoch_class_iou.png"))
+    assert len(cb.class_ious) == 2 and cb.class_ious[0].shape == (3,)
+
+
+def test_miou_eval_callback_model_based(tmp_path):
+    """The fit()-wired path: model + per-epoch variables, no predict_fn."""
+    from tpu_unet.models.registry import build_model, init_model
+
+    ds = _FakeDataset(n=2, nc=4, hw=16)
+    model = build_model("ultralight", 4)
+    variables = init_model(model, (16, 16))
+    cb = MIoUEvalCallback(dataset=ds, num_classes=4, log_dir=str(tmp_path),
+                          period=1, model=model)
+    miou = cb.on_epoch_end(0, variables)
+    assert miou is not None and 0.0 <= miou <= 1.0
+    with pytest.raises(ValueError, match="variables"):
+        cb.on_epoch_end(1)
+    with pytest.raises(ValueError, match="predict_fn or model"):
+        MIoUEvalCallback(dataset=ds, num_classes=4, log_dir=str(tmp_path))

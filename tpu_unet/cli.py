@@ -48,6 +48,15 @@ def cmd_train(args):
         overrides["unfreeze_batch_size"] = args.batch_size
     if args.data_path:
         overrides["dataset_path"] = args.data_path
+    if args.eval_period:
+        # an explicit period is a request for eval, even on presets that
+        # default it off (e.g. medical mirrors train_medical.py's no-val)
+        overrides["eval_period"] = args.eval_period
+        overrides["eval_flag"] = True
+    if args.save_dir:
+        overrides["save_dir"] = args.save_dir
+    if args.no_pretrained:
+        overrides["pretrained_backbone"] = False
     cfg = get_preset(args.preset, **overrides)
 
     if args.train_split:
@@ -64,7 +73,16 @@ def cmd_train(args):
         train_ids = read_split(os.path.join(sets, "train.txt"))
         val_path = os.path.join(sets, "val.txt")
         val_ids = read_split(val_path) if os.path.exists(val_path) else []
-    fit(cfg, train_ids, val_ids, base_dir=args.data_root)
+
+    wandb_logger = None
+    if args.wandb:
+        from tpu_unet.train.wandb_logging import WandbLogger
+
+        wandb_logger = WandbLogger(project=args.wandb_project,
+                                   config=dataclasses.asdict(cfg))
+    # eval-during-training is default-on like the reference (train.py:445)
+    fit(cfg, train_ids, val_ids, base_dir=args.data_root,
+        wandb_logger=wandb_logger, auto_eval_callback=not args.no_eval)
 
 
 def _wrapper_overrides(args):
@@ -120,6 +138,20 @@ def cmd_miou(args):
              image_dir=args.image_dir, pred_dir=args.pred_dir)
 
 
+def cmd_fold(args):
+    """RepVGG reparameterization fold — the switch_to_deploy counterpart
+    (reference: RepVGG_Unet.py:203-207): training checkpoint in, deploy-mode
+    (single-3x3-conv) checkpoint out."""
+    from tpu_unet.models.repvgg import fold_repvgg
+    from tpu_unet.train.checkpoint import load_any, save_variables
+
+    variables = load_any(args.model_path, args.model)
+    folded = fold_repvgg(variables)
+    save_variables(args.out, folded)
+    print(f"folded {args.model_path} -> {args.out} "
+          f"(load with build_model({args.model!r}, ..., deploy=True))")
+
+
 def cmd_summary(args):
     from tpu_unet.tools.summary import summarize
 
@@ -145,6 +177,17 @@ def main(argv=None):
     p.add_argument("--val-split", default="")
     p.add_argument("--epochs", type=int)
     p.add_argument("--batch-size", type=int)
+    p.add_argument("--eval-period", type=int,
+                   help="epochs between val-mIoU evals (preset default)")
+    p.add_argument("--no-eval", action="store_true",
+                   help="disable eval-during-training (default on, like "
+                        "the reference EvalCallback)")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--wandb-project", default="tpu-unet")
+    p.add_argument("--save-dir", default="")
+    p.add_argument("--no-pretrained", action="store_true",
+                   help="train the backbone from random init even when the "
+                        "preset asks for ImageNet weights")
     _add_common(p)
     p.set_defaults(fn=cmd_train)
 
@@ -171,6 +214,12 @@ def main(argv=None):
     p.add_argument("--names", default="")
     _add_common(p)
     p.set_defaults(fn=cmd_miou)
+
+    p = sub.add_parser("fold")
+    p.add_argument("--model", default="repvgg_segnet")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_fold)
 
     p = sub.add_parser("summary")
     p.add_argument("--model", required=True)

@@ -80,20 +80,50 @@ class LossHistory:
 
 class MIoUEvalCallback:
     """Periodic validation mIoU via the device-side confusion matrix
-    (replaces utils/callbacks.py:378-530's PNG-file round-trip)."""
+    (replaces utils/callbacks.py:378-530's PNG-file round-trip).
 
-    def __init__(self, predict_fn, dataset, num_classes: int, log_dir: str,
-                 period: int = 1, max_images: Optional[int] = None):
+    Prediction comes from either a ``predict_fn`` (uint8 HWC image → int
+    mask) or a ``model`` + the per-epoch ``variables`` that fit() passes to
+    ``on_epoch_end`` — the latter is how eval-during-training is wired by
+    default (reference: train.py:445-446).
+    """
+
+    def __init__(self, predict_fn=None, dataset=None, num_classes: int = 21,
+                 log_dir: str = "logs", period: int = 1,
+                 max_images: Optional[int] = None, model=None,
+                 name_classes: Optional[list] = None):
+        if predict_fn is None and model is None:
+            raise ValueError("need predict_fn or model")
         self.predict_fn = predict_fn          # (uint8 HWC image) → int mask
+        self.model = model
         self.dataset = dataset
         self.num_classes = num_classes
         self.log_dir = log_dir
         self.period = period
         self.max_images = max_images
+        self.name_classes = name_classes
         self.mious = []
+        self.epochs = []
+        self.class_ious = []                  # per-eval per-class IoU rows
+        self._jitted = None
         os.makedirs(log_dir, exist_ok=True)
 
-    def on_epoch_end(self, epoch: int) -> Optional[float]:
+    def _model_predict(self, variables, img):
+        if self._jitted is None:
+            import jax
+            import jax.numpy as jnp
+
+            def f(v, x):
+                logits = self.model.apply(v, x.astype(jnp.float32) / 255.0,
+                                          False)
+                if isinstance(logits, (tuple, list)):  # deep supervision
+                    logits = logits[0]
+                return jnp.argmax(logits, axis=-1)
+
+            self._jitted = jax.jit(f)
+        return np.asarray(self._jitted(variables, img[None]))[0]
+
+    def on_epoch_end(self, epoch: int, variables=None) -> Optional[float]:
         if (epoch + 1) % self.period:
             return None
         from tpu_unet.eval.metrics import confusion_matrix, per_class_iou
@@ -104,16 +134,61 @@ class MIoUEvalCallback:
             n = min(n, self.max_images)
         for i in range(n):
             img, lbl = self.dataset.__getitem__(i)
-            pred = self.predict_fn(img)
+            if self.predict_fn is not None:
+                pred = self.predict_fn(img)
+            else:
+                if variables is None:
+                    raise ValueError(
+                        "model-based MIoUEvalCallback needs on_epoch_end("
+                        "epoch, variables)")
+                pred = self._model_predict(variables,
+                                           np.asarray(img, np.uint8))
             hist += np.asarray(confusion_matrix(lbl, pred, self.num_classes))
-        ious = per_class_iou(hist)
+        ious = np.asarray(per_class_iou(hist), np.float64)
         miou = float(np.nanmean(ious))
         self.mious.append(miou)
+        self.epochs.append(epoch)
+        self.class_ious.append(ious)
         with open(os.path.join(self.log_dir, "epoch_miou.txt"), "a") as f:
             f.write(f"{miou}\n")
         print(f"epoch {epoch}: val mIoU {100 * miou:.2f} "
               f"(per-class {[f'{100 * x:.1f}' for x in ious]})")
+        self.plot()
         return miou
+
+    def plot(self):
+        """mIoU + per-class IoU training curves (reference:
+        utils/callbacks.py:464-498)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        plt.figure()
+        plt.plot(self.epochs, self.mious, "red", linewidth=2, label="mIoU")
+        plt.grid(True)
+        plt.xlabel("Epoch")
+        plt.ylabel("mIoU")
+        plt.title("Validation mIoU")
+        plt.legend(loc="lower right")
+        plt.savefig(os.path.join(self.log_dir, "epoch_miou.png"))
+        plt.close("all")
+
+        rows = np.stack(self.class_ious)     # (evals, classes)
+        plt.figure()
+        for c in range(rows.shape[1]):
+            label = (self.name_classes[c] if self.name_classes
+                     else f"class {c}")
+            plt.plot(self.epochs, rows[:, c], linewidth=1.5, label=label)
+        plt.grid(True)
+        plt.xlabel("Epoch")
+        plt.ylabel("IoU")
+        plt.title("Per-class validation IoU")
+        plt.legend(loc="lower right", fontsize="small")
+        plt.savefig(os.path.join(self.log_dir, "epoch_class_iou.png"))
+        plt.close("all")
 
 
 class EarlyStopping:

@@ -143,13 +143,17 @@ def make_datasets(cfg: TrainConfig, base_dir: str, train_ids, val_ids,
 
 def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
         mesh=None, max_steps_per_epoch: Optional[int] = None,
-        verbose: bool = True, wandb_logger=None, miou_callback=None):
+        verbose: bool = True, wandb_logger=None, miou_callback=None,
+        auto_eval_callback: bool = False):
     """Run the full two-phase training; returns the final TrainState.
 
     ``wandb_logger``: optional tpu_unet.train.wandb_logging.WandbLogger
     (the fit_one_epoch_use_wandb counterpart, utils/utils_fit.py:286-471).
     ``miou_callback``: optional tpu_unet.train.callbacks.MIoUEvalCallback
     (the EvalCallback counterpart, utils/callbacks.py:244-530).
+    ``auto_eval_callback``: build an MIoUEvalCallback over the val set,
+    honoring cfg.eval_period — the reference's default-on EvalCallback
+    wiring (train.py:445-446).
     """
     if mesh is None:
         mesh = create_mesh()
@@ -190,6 +194,14 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
 
     train_ds, val_ds = make_datasets(cfg, base_dir, train_ids, val_ids, cfg.seed)
     loss_history = LossHistory(cfg.save_dir) if verbose else None
+    if (auto_eval_callback and miou_callback is None and cfg.eval_flag
+            and len(val_ds) and jax.process_index() == 0):
+        from tpu_unet.train.callbacks import MIoUEvalCallback
+
+        miou_callback = MIoUEvalCallback(
+            dataset=val_ds, num_classes=cfg.num_classes, model=model,
+            log_dir=loss_history.log_dir if loss_history else cfg.save_dir,
+            period=cfg.eval_period)
     stopper = EarlyStopping(cfg.patience) if cfg.patience else None
     root_key = jax.random.PRNGKey(cfg.seed)
 
@@ -226,6 +238,10 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
             val_bs = batch_size
             if len(val_ds) < batch_size:
                 val_bs = (len(val_ds) // n_dev) * n_dev
+            if val_bs == 0 and len(val_ds) and verbose:
+                print(f"warning: val set of {len(val_ds)} images cannot fill "
+                      f"even one {n_dev}-device batch — validation loss and "
+                      f"best-checkpoint tracking are disabled this phase")
             val_loader = Loader(val_ds, val_bs, shuffle=False,
                                 seed=cfg.seed, num_workers=cfg.num_workers,
                                 process_index=jax.process_index(),
@@ -268,10 +284,10 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
             if wandb_logger is not None:
                 wandb_logger.log_epoch(epoch, loss=tloss, val_loss=vloss,
                                        lr=lr)
-            if miou_callback is not None:
-                miou_callback.on_epoch_end(epoch)
             variables_now = {"params": state.params,
                              "batch_stats": state.batch_stats}
+            if miou_callback is not None:
+                miou_callback.on_epoch_end(epoch, variables_now)
             # checkpoint cadence mirrors utils/utils_fit.py:153-172
             if (epoch + 1) % cfg.save_period == 0 or epoch + 1 == cfg.unfreeze_epoch:
                 save_variables(os.path.join(
