@@ -78,11 +78,22 @@ def bn(sd: _SD, p: str) -> Tuple[dict, dict]:
 
 
 class _Tree:
-    """Accumulates params + batch_stats subtrees."""
+    """Accumulates params + batch_stats subtrees.
+
+    Every leaf insertion also records (flax path → torch key, kind) in
+    ``src`` — the mapping that makes the conversion invertible
+    (see ``export_state_dict``). ``_Tree.last`` keeps the most recent
+    instance so the inverse can reuse whatever mapping the forward
+    conversion just traced.
+    """
+
+    last: "_Tree | None" = None
 
     def __init__(self):
         self.params: Params = {}
         self.stats: Stats = {}
+        self.src: Dict[str, Tuple[str, str]] = {}
+        _Tree.last = self
 
     def put(self, path: str, params: dict, stats: dict | None = None):
         def insert(root, p, leaf):
@@ -97,13 +108,16 @@ class _Tree:
 
     def conv(self, sd, torch_key, path):
         self.put(path, conv(sd, torch_key))
+        self.src[path] = ("conv", torch_key)
 
     def dense(self, sd, torch_key, path):
         self.put(path, dense(sd, torch_key))
+        self.src[path] = ("dense", torch_key)
 
     def bn(self, sd, torch_key, path):
         p, s = bn(sd, torch_key)
         self.put(path, p, s)
+        self.src[path] = ("bn", torch_key)
 
     def variables(self) -> dict:
         out = {"params": self.params}
@@ -590,3 +604,61 @@ def convert_pth(path: str, model_name: str) -> dict:
     if model_name not in CONVERTERS:
         raise KeyError(f"no converter for {model_name!r}")
     return CONVERTERS[model_name](load_state_dict(path))
+
+
+def _fetch(tree: dict, path: str):
+    for part in path.split("/"):
+        tree = tree[part]
+    return tree
+
+
+def export_state_dict(variables: dict, model_name: str,
+                      template_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_pth``: Flax variables → a torch state_dict
+    (numpy leaves, strict-loadable into the reference model class).
+
+    ``template_sd`` supplies the torch key inventory (e.g. the reference
+    model's own ``state_dict()`` or any compatible .pth via
+    ``load_state_dict``); the forward converter is run once on it to trace
+    the key↔path mapping, then each leaf transform is inverted:
+    conv HWIO→OIHW, dense (in,out)→(out,in), BN scale/bias + mean/var →
+    weight/bias + running_mean/running_var (+ zero num_batches_tracked so
+    torch ``load_state_dict(strict=True)`` accepts it).
+    """
+    if model_name not in CONVERTERS:
+        raise KeyError(f"no converter for {model_name!r}")
+    CONVERTERS[model_name]({k: np.asarray(v) for k, v in template_sd.items()
+                            if "num_batches_tracked" not in k})
+    tree = _Tree.last
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    for path, (kind, tkey) in tree.src.items():
+        p = _fetch(params, path)
+        if kind == "conv":
+            out[f"{tkey}.weight"] = np.asarray(p["kernel"]).transpose(3, 2, 0, 1)
+            if "bias" in p:
+                out[f"{tkey}.bias"] = np.asarray(p["bias"])
+        elif kind == "dense":
+            out[f"{tkey}.weight"] = np.asarray(p["kernel"]).T
+            if "bias" in p:
+                out[f"{tkey}.bias"] = np.asarray(p["bias"])
+        else:  # bn
+            s = _fetch(stats, path)
+            out[f"{tkey}.weight"] = np.asarray(p["scale"])
+            out[f"{tkey}.bias"] = np.asarray(p["bias"])
+            out[f"{tkey}.running_mean"] = np.asarray(s["mean"])
+            out[f"{tkey}.running_var"] = np.asarray(s["var"])
+            out[f"{tkey}.num_batches_tracked"] = np.asarray(0, np.int64)
+    return out
+
+
+def export_pth(variables: dict, model_name: str, template_sd, path: str):
+    """Write ``export_state_dict``'s result as a torch-loadable .pth."""
+    import torch
+
+    sd = export_state_dict(variables, model_name, template_sd)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                if np.ndim(v) else torch.tensor(int(v))
+                for k, v in sd.items()}, path)
+    return path
