@@ -1,0 +1,87 @@
+"""Complementary benchmark protocols (VERDICT r1 #7).
+
+bench.py's committed metric keeps inputs device-resident and returns
+histograms because this harness reaches the TPU through a tunneled relay
+(H2D ~40 MB/s, D2H ~9 MB/s) that would otherwise be the thing measured.
+This tool records the two honest protocol variants alongside it:
+
+1. ``get_fps_512``  — the reference's bs=1 get_FPS loop (unet.py:205-258:
+   forward + softmax + full-prob-map D2H + crop + argmax), at 512×512
+   through the public wrapper. Directly comparable to BASELINE.md #7.
+2. ``true_e2e_512`` — batched inference with per-batch H2D of the uint8
+   input AND D2H of the uint8 mask, synchronous per batch: what a host-fed
+   serving loop pays end to end on this machine's link.
+
+Run:  python -m tpu_unet.tools.bench_protocols [batch]
+Prints one JSON line per protocol.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_fps_512(model_name: str = "unet_vgg", num_classes: int = 21,
+                size: int = 512, test_interval: int = 30):
+    from PIL import Image
+
+    from tpu_unet.infer.wrapper import Unet
+
+    u = Unet(model=model_name, num_classes=num_classes,
+             input_shape=[size, size])
+    img = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (size, size, 3)).astype(np.uint8))
+    tact = u.get_FPS(img, test_interval)
+    return {"metric": f"get_FPS_bs1_{size}px",
+            "value": round(1.0 / tact, 2), "unit": "fps",
+            "note": "reference protocol unet.py:205-258 incl. full prob-map D2H"}
+
+
+def true_e2e_512(batch: int = 8, num_classes: int = 21, size: int = 512,
+                 iters: int = 10):
+    from tpu_unet.models.registry import build_model, init_model
+
+    model = build_model("unet_vgg", num_classes)
+    variables = init_model(model, (size, size))
+    variables = {
+        "params": jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), variables["params"]),
+        **{k: v for k, v in variables.items() if k != "params"},
+    }
+
+    @jax.jit
+    def step(variables, imgs_u8):
+        x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        logits = model.apply(variables, x, False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    rng = np.random.RandomState(0)
+    host_batches = [rng.randint(0, 255, (batch, size, size, 3)
+                                ).astype(np.uint8) for _ in range(2)]
+    np.asarray(step(variables, host_batches[0]))  # compile
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        mask = np.asarray(step(variables, host_batches[i % 2]))  # H2D + D2H
+    dt = time.perf_counter() - t0
+    assert mask.shape == (batch, size, size)
+    ips = batch * iters / dt
+    return {"metric": f"true_e2e_{size}px_b{batch}",
+            "value": round(ips / max(jax.device_count(), 1), 2),
+            "unit": "images/sec/chip",
+            "note": "per-batch uint8 H2D + uint8-mask D2H in the loop"}
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    print(json.dumps(true_e2e_512(batch)), flush=True)
+    print(json.dumps(get_fps_512()), flush=True)
+
+
+if __name__ == "__main__":
+    main()
