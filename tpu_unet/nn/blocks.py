@@ -139,19 +139,53 @@ class Up(nn.Module):
         return DoubleConv(self.features, name="conv")(x, train)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters with nn.Conv-compatible names/shapes/inits,
+    so checkpoints and the torch converter see the same tree whether the
+    stage runs through XLA or the fused Pallas kernel."""
+    features: int
+    in_features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,))
+        return k, b
+
+
 class UnetUp(nn.Module):
     """Canonical UNet decoder stage — ×2 bilinear on the deep feature,
     concat with skip, two conv+ReLU, **no BN** (reference: nets/unet.py:8-22;
-    concat order [skip, up])."""
+    concat order [skip, up]).
+
+    On TPU backends the whole stage runs as one fused Pallas kernel
+    (tpu_unet/kernels/decoder_fuse.py): upsample + concat + both convs in
+    a single VMEM pass, no relayout copies, full-MXU paired matmuls.
+    """
     features: int
 
     @nn.compact
     def __call__(self, skip, x, train: bool = False):
         del train
-        x = jnp.concatenate([skip, upsample2x(x)], axis=-1)
-        x = nn.relu(conv(self.features, name="conv1")(x))
-        x = nn.relu(conv(self.features, name="conv2")(x))
-        return x
+        cin = skip.shape[-1] + x.shape[-1]
+        k1, b1 = _ConvParams(self.features, cin, name="conv1")()
+        k2, b2 = _ConvParams(self.features, self.features, name="conv2")()
+        # nn.Conv dtype promotion semantics: compute in the promoted dtype
+        dt = jnp.result_type(x.dtype, k1.dtype)
+        skip, x = skip.astype(dt), x.astype(dt)
+        k1, b1, k2, b2 = (a.astype(dt) for a in (k1, b1, k2, b2))
+
+        from tpu_unet.core.fusion import use_fused_decoder
+        if use_fused_decoder() and not self.is_initializing():
+            from tpu_unet.kernels.decoder_fuse import fused_unetup
+            return fused_unetup(skip, x, k1, b1, k2, b2)
+
+        from tpu_unet.kernels.decoder_fuse import reference_unetup
+        return reference_unetup(skip, x, k1, b1, k2, b2)
 
 
 # ---------------------------------------------------------------------------
