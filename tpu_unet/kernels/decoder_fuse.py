@@ -63,7 +63,8 @@ def _row_arrays(H: int):
     hw = w[uc] * valid
     hsel = (((u % 2) != 0) | (u == 0)).astype(np.float32)
     return (hw.reshape(-1, 1).astype(np.float32),
-            hsel.reshape(-1, 1))
+            hsel.reshape(-1, 1),
+            valid.reshape(-1, 1))
 
 
 @functools.lru_cache(maxsize=None)
@@ -90,28 +91,23 @@ def _pick_tile(H2: int, W: int, c_total: int, itemsize: int) -> int:
 # kernel building blocks
 # ---------------------------------------------------------------------------
 
-def _mask_rows(y, r0, lo_off, H2):
-    """Zero rows whose global index r0 + lo_off + e is outside [0, H2).
-    Uses a full-shape iota compare — Mosaic cannot broadcast a (R, 1, 1)
-    mask into both sublanes and lanes for narrow dtypes."""
-    e = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0)
-    g = e + (r0 + lo_off)
-    return jnp.where((g >= 0) & (g < H2), y, jnp.zeros_like(y))
-
-
 def _h_upsample_rows(xs, hw_b, hsel_b, r0, H2, E):
     """Vectorised H-axis ×2 align-corners lerp of the row window ``xs``
-    ((win, W, C) f32) into (E, W, C) f32 output rows, zeroed where the
-    output row (global r0 - 2 + e) is outside the image."""
+    ((win, W, C)) into (E, W, C) output rows, zeroed where the output row
+    (global r0 - 2 + e) is outside the image.  hw_b/hsel_b arrive (E, C)
+    pre-broadcast on lanes — Mosaic can only broadcast narrow dtypes
+    along sublanes."""
     win = xs.shape[0]
     xe = xs[:, None]
     repw = jnp.concatenate([xe, xe], axis=1).reshape(
         2 * win, xs.shape[1], xs.shape[2])
     s0, s2, s4 = repw[0:E], repw[2:E + 2], repw[4:E + 4]
-    sel = hsel_b[:, :, None] != 0.0
+    sel = hsel_b[:, None, :] != 0.0
     lo = jnp.where(sel, s2, s0)
     hi = jnp.where(sel, s4, s2)
-    return _mask_rows(lo + (hi - lo) * hw_b[:, :, None], r0, -2, H2)
+    # row-validity is folded into hw (OOB rows have weight 0) — zeroing
+    # happens via the valid multiply at the call sites
+    return lo + (hi - lo) * hw_b[:, None, :]
 
 
 def _shift_cols_zero(a, d):
@@ -159,80 +155,79 @@ def _conv_rows(src, R, kd, kep, kop, bd, dt):
 
     Column shifts commute with per-position matmuls, so the edge terms
     shift the small f32 matmul *results* once instead of the wide bf16
-    inputs per ky — 6x less VPU copy traffic."""
-    dense = _mm(src[0:R], kd[0])
+    inputs per ky; the edge accumulators are folded sequentially to keep
+    at most two f32 buffers live (VMEM)."""
     ee = _mm(src[0:R], kop[0])
+    for ky in (1, 2):
+        ee += _mm(src[ky:ky + R], kop[ky])
     eo = _mm(src[0:R], kep[0])
     for ky in (1, 2):
-        blk = src[ky:ky + R]
-        dense += _mm(blk, kd[ky])
-        ee += _mm(blk, kop[ky])
-        eo += _mm(blk, kep[ky])
-    acc = dense + jnp.concatenate(
+        eo += _mm(src[ky:ky + R], kep[ky])
+    acc = jnp.concatenate(
         [_shift_cols_zero(ee, -1), _shift_cols_zero(eo, 1)], axis=-1)
+    for ky in (0, 1, 2):
+        acc += _mm(src[ky:ky + R], kd[ky])
     return jax.nn.relu(acc.astype(dt) + bd[...][None, :])
 
 
 def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt):
-    def kernel(hw, hsel, we, wo,
+    def kernel(hw, hsel, valid, valid1, we, wo,
                k1d, k1ep, k1op, b1d, k2d, k2ep, k2op, b2d,
                sk_m, sk_h, x_m, x_h, out_ref):
         i = pl.program_id(1)
         r0 = i * T
 
         xs = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
-        h = _h_upsample_rows(xs.astype(jnp.float32),
-                             hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
-                             r0, H2, E)
-        even, odd = _w_expand_pair(h, we[...].reshape(1, -1, 1),
-                                   wo[...].reshape(1, -1, 1))
+        hv = hw[pl.ds(r0, E)]
+        h = _h_upsample_rows(xs, hv, hsel[pl.ds(r0, E)], r0, H2, E)
+        h = h * valid[pl.ds(r0, E)][:, None, :]
+        even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
         # paired channel order [skip-even, skip-odd, up-even, up-odd];
         # every operand is an offset-0 value (Mosaic concat constraint)
         sk = jnp.concatenate([sk_m[0], sk_h[0, :4]], axis=0)
-        cc = jnp.concatenate(
-            [sk, even.astype(dt), odd.astype(dt)], axis=-1)
+        cc = jnp.concatenate([sk, even, odd], axis=-1)
 
         y1 = _conv_rows(cc, T + 2, k1d, k1ep, k1op, b1d, dt)
-        y1 = _mask_rows(y1, r0, -1, H2)
+        y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
         out_ref[0] = _conv_rows(y1, T, k2d, k2ep, k2op, b2d, dt)
 
     return kernel
 
 
 def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt):
-    def kernel(hw, hsel, we, wo,
+    def kernel(hw, hsel, valid, valid1, we, wo,
                k1, b1, k2, b2,
                sk_m, sk_h, x_m, x_h, out_ref):
         i = pl.program_id(1)
         r0 = i * T
 
         xs = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
-        h = _h_upsample_rows(xs.astype(jnp.float32),
-                             hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
-                             r0, H2, E)
-        even, odd = _w_expand_pair(h, we[...].reshape(1, -1, 1),
-                                   wo[...].reshape(1, -1, 1))
+        h = _h_upsample_rows(xs, hw[pl.ds(r0, E)],
+                             hsel[pl.ds(r0, E)], r0, H2, E)
+        h = h * valid[pl.ds(r0, E)][:, None, :]
+        even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
         # interleave columns: ups[:, 2j] = even[:, j], ups[:, 2j+1] = odd[:, j]
         st = jnp.concatenate([even[:, :, None], odd[:, :, None]], axis=2)
-        ups = st.reshape(E, 2 * even.shape[1], even.shape[2]).astype(dt)
+        ups = st.reshape(E, 2 * even.shape[1], even.shape[2])
         sk = jnp.concatenate([sk_m[0], sk_h[0, :4]], axis=0)
         cc = jnp.concatenate([sk, ups], axis=-1)
 
         def conv3(src, R, k, bias):
             # shift the f32 results per kx (3 shifts) instead of the wide
-            # bf16 inputs per (ky, kx) (9 shifts)
-            accs = [None, None, None]
-            for ky in range(3):
-                blk = src[ky:ky + R]
-                for kx in range(3):
-                    t = _mm(blk, k[ky, kx])
-                    accs[kx] = t if accs[kx] is None else accs[kx] + t
-            acc = (_shift_cols_zero(accs[0], -1) + accs[1]
-                   + _shift_cols_zero(accs[2], 1))
+            # bf16 inputs per (ky, kx); sequential kx folding keeps at
+            # most two f32 accumulators live (VMEM)
+            def kxsum(kx):
+                t = _mm(src[0:R], k[0, kx])
+                for ky in (1, 2):
+                    t += _mm(src[ky:ky + R], k[ky, kx])
+                return t
+            acc = _shift_cols_zero(kxsum(0), -1)
+            acc += kxsum(1)
+            acc += _shift_cols_zero(kxsum(2), 1)
             return jax.nn.relu(acc.astype(dt) + bias[...][None, :])
 
         y1 = conv3(cc, T + 2, k1, b1)
-        y1 = _mask_rows(y1, r0, -1, H2)
+        y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
         out_ref[0] = conv3(y1, T, k2, b2)
 
     return kernel
@@ -289,8 +284,20 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None):
     if T % 2 or T < 8 or H2 % T:
         return None  # shapes this kernel can't tile; caller falls back
 
-    hw, hsel = _row_arrays(H)
+    hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
+    # pre-broadcast to the lane width of each consumer (Mosaic:
+    # narrow-dtype broadcasts are sublane-only), cast to compute dtype
+    cw = 2 * F if paired else F
+    hw = np.repeat(hw, Cx, axis=1)
+    hsel = np.repeat(hsel, Cx, axis=1)
+    validx = np.repeat(valid, Cx, axis=1)
+    r1 = np.arange(-1, H2 + 1)
+    valid1 = np.repeat(((r1 >= 0) & (r1 < H2)).astype(np.float32
+                                                      ).reshape(-1, 1),
+                       cw, axis=1)
+    we = np.repeat(we, Cx, axis=1)
+    wo = np.repeat(wo, Cx, axis=1)
 
     # pad to exact block multiples so the (b, i+1) halo block exists for
     # the last row-tile: skip -> (nT+1)*T rows, x -> (nT+1)*(T//2) rows
@@ -298,7 +305,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None):
     x_p = jnp.pad(x, ((0, 0), (2, T // 2 - 2), (0, 0), (0, 0)))
 
     grid = (B, H2 // T)
-    coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
 
     if paired:
         skip_p = skip_p.reshape(B, skip_p.shape[1], W, 2 * Cs)
@@ -340,8 +347,15 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None):
         in_specs=coef_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)] *
         len(weight_args) + data_specs,
         out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # the deep stages keep ~25 MB of f32 accumulators + bf16
+            # operands live; v5e has 128 MB VMEM, default scoped cap is 16
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(jnp.asarray(hw), jnp.asarray(hsel), jnp.asarray(we), jnp.asarray(wo),
+    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
+      jnp.asarray(validx).astype(dt), jnp.asarray(valid1).astype(dt),
+      jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
       *weight_args, skip_p, skip_p, x_p, x_p)
 
     if paired:
