@@ -148,23 +148,24 @@ def _mm(a, k):
     return out.reshape(r, w, k.shape[1])
 
 
-def _conv_rows(src, R, kd, kep, kop, bd, dt):
-    """One paired 3x3 conv: dense per-ky matmuls plus zero-padded-weight
-    cross-pair edge matmuls.  src is (R+2, W, C) in paired channel
+def _conv_rows(src, R, kd, ke, bd, dt):
+    """One paired 3x3 conv: dense per-ky matmuls plus ONE combined
+    cross-pair edge matmul.  src is (R+2, W, C) in paired channel
     order; output (R, W, 2F) = relu(conv + bias).
 
-    Column shifts commute with per-position matmuls, so the edge terms
-    shift the small f32 matmul *results* once instead of the wide bf16
-    inputs per ky; the edge accumulators are folded sequentially to keep
-    at most two f32 buffers live (VMEM)."""
-    ee = _mm(src[0:R], kop[0])
+    The two edge terms (odd[j-1]->even-out and even[j+1]->odd-out) share
+    a single (2C, 2F) matmul so the MXU always sees 2F >= 128 output
+    lanes — separate F-lane edge matmuls ran the MXU at half rate and
+    capped the whole conv at 50% efficiency.  Column shifts commute with
+    per-position matmuls, so the halves are split afterwards with two
+    sublane shifts of the f32 result and a lane-select."""
+    res = _mm(src[0:R], ke[0])
     for ky in (1, 2):
-        ee += _mm(src[ky:ky + R], kop[ky])
-    eo = _mm(src[0:R], kep[0])
-    for ky in (1, 2):
-        eo += _mm(src[ky:ky + R], kep[ky])
-    acc = jnp.concatenate(
-        [_shift_cols_zero(ee, -1), _shift_cols_zero(eo, 1)], axis=-1)
+        res += _mm(src[ky:ky + R], ke[ky])
+    F2 = res.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, res.shape, 2)
+    acc = jnp.where(lane < F2 // 2,
+                    _shift_cols_zero(res, -1), _shift_cols_zero(res, 1))
     for ky in (0, 1, 2):
         acc += _mm(src[ky:ky + R], kd[ky])
     return jax.nn.relu(acc.astype(dt) + bd[...][None, :])
@@ -172,7 +173,7 @@ def _conv_rows(src, R, kd, kep, kop, bd, dt):
 
 def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt):
     def kernel(hw, hsel, valid, valid1, we, wo,
-               k1d, k1ep, k1op, b1d, k2d, k2ep, k2op, b2d,
+               k1d, k1e, b1d, k2d, k2e, b2d,
                sk_m, sk_h, x_m, x_h, out_ref):
         i = pl.program_id(1)
         r0 = i * T
@@ -187,9 +188,9 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt):
         sk = jnp.concatenate([sk_m[0], sk_h[0, :4]], axis=0)
         cc = jnp.concatenate([sk, even, odd], axis=-1)
 
-        y1 = _conv_rows(cc, T + 2, k1d, k1ep, k1op, b1d, dt)
+        y1 = _conv_rows(cc, T + 2, k1d, k1e, b1d, dt)
         y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
-        out_ref[0] = _conv_rows(y1, T, k2d, k2ep, k2op, b2d, dt)
+        out_ref[0] = _conv_rows(y1, T, k2d, k2e, b2d, dt)
 
     return kernel
 
@@ -241,12 +242,13 @@ def _pair_weights(k, Cs, F):
     """Paired-space conv weights for channel order [sE, sO, uE, uO] (skip
     pre-paired by the host reshape, upsample produced as even/odd blocks).
 
-    Returns (kd, kep, kop):
-      kd  (3, 2C, 2F): dense per-ky block matrix; output order [even, odd].
-      kep (3, 2C, F): even-input rows of k[:, 2] (dx=+1), zero odd rows —
-        the pair j+1 -> odd-output edge term.
-      kop (3, 2C, F): odd-input rows of k[:, 0] (dx=-1), zero even rows —
-        the pair j-1 -> even-output edge term.
+    Returns (kd, ke):
+      kd (3, 2C, 2F): dense per-ky block matrix; output order [even, odd].
+      ke (3, 2C, 2F): combined edge matrix — output columns [0:F] carry
+        the pair j-1 -> even-output term (odd-input rows of k[:, 0]),
+        columns [F:2F] the pair j+1 -> odd-output term (even-input rows
+        of k[:, 2]).  One full-lane matmul; the caller splits the halves
+        with opposing column shifts.
     """
     kx0, kx1, kx2 = k[:, 0], k[:, 1], k[:, 2]  # (3, C, F) each
     zc = jnp.zeros_like(kx1)
@@ -259,9 +261,9 @@ def _pair_weights(k, Cs, F):
             block_e[:, Cs:], block_o[:, Cs:]], axis=1)
 
     kd = jnp.concatenate([order(kx1, kx2), order(kx0, kx1)], axis=-1)
-    kep = order(kx2, zc[:, :, :F])
-    kop = order(zc[:, :, :F], kx0)
-    return kd, kep, kop
+    ke = jnp.concatenate([order(zc[:, :, :F], kx0),
+                          order(kx2, zc[:, :, :F])], axis=-1)
+    return kd, ke
 
 
 def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None):
@@ -283,6 +285,10 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None):
     # block: T//2 >= 4
     if T % 2 or T < 8 or H2 % T:
         return None  # shapes this kernel can't tile; caller falls back
+    if not paired and H <= 32 and Cp >= 1024:
+        # deepest stage (tiny spatial, heavy channels): XLA's native conv
+        # pipeline wins — measured 0.89x on v5e at (32², 1024→512)
+        return None
 
     hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
@@ -309,11 +315,11 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None):
 
     if paired:
         skip_p = skip_p.reshape(B, skip_p.shape[1], W, 2 * Cs)
-        k1d, k1ep, k1op = _pair_weights(k1.astype(dt), Cs, F)
-        k2d, k2ep, k2op = _pair_weights(k2.astype(dt), F, F)
+        k1d, k1e = _pair_weights(k1.astype(dt), Cs, F)
+        k2d, k2e = _pair_weights(k2.astype(dt), F, F)
         b1d = jnp.concatenate([b1, b1]).astype(dt)
         b2d = jnp.concatenate([b2, b2]).astype(dt)
-        weight_args = (k1d, k1ep, k1op, b1d, k2d, k2ep, k2op, b2d)
+        weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
         kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, dt)
         out_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
         out_spec = pl.BlockSpec((1, T, W, 2 * F), lambda b, i: (b, i, 0, 0),
