@@ -38,6 +38,11 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21):
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
 
+    from tpu_unet.models.unet import Unet
+
+    paired_model = Unet(num_classes=num_classes, backbone="vgg",
+                        paired_head=True)
+
     @jax.jit
     def step(variables, imgs_u8):
         x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
@@ -47,15 +52,15 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21):
         # tunneled relay whose D2H crawls at ~9 MB/s — it would measure the
         # relay, not the framework.
         if on_tpu:
-            # fused Pallas tail: final 1×1 conv + argmax + mask + histogram
-            # in one VMEM pass (155 → 170 img/s vs the unfused tail)
-            from tpu_unet.kernels.postprocess import fused_final_argmax_hist
+            # paired-layout serving head + fused Pallas tail: the last
+            # decoder stage emits column-paired features and the tail does
+            # final 1×1 conv + argmax + mask + histogram in one VMEM pass —
+            # the unpair relayout (1.3 ms/step) never runs
+            from tpu_unet.kernels.postprocess import (
+                fused_final_argmax_hist_paired)
 
-            _, st = model.apply(
-                variables, x, False,
-                capture_intermediates=lambda m, _: m.name == "up_concat1")
-            feats = st["intermediates"]["up_concat1"]["__call__"][0]
-            masks, hist = fused_final_argmax_hist(
+            feats = paired_model.apply(variables, x, False)
+            masks, hist = fused_final_argmax_hist_paired(
                 feats, variables["params"]["final"]["kernel"],
                 variables["params"]["final"]["bias"], num_classes)
             del masks  # device-resident product; not shipped through relay

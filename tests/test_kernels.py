@@ -106,3 +106,28 @@ def test_quantization_roundtrip():
     # int8 weights: outputs close but not identical
     assert qy.shape == fy.shape
     assert np.abs(qy - fy).mean() < 0.2
+
+
+def test_paired_head_and_tail_match_standard_path():
+    """paired_head Unet + fused_final_argmax_hist_paired == standard logits
+    argmax/histogram (the serving path bench.py drives)."""
+    from tpu_unet.kernels.postprocess import fused_final_argmax_hist_paired
+    from tpu_unet.models.registry import build_model, init_model
+    from tpu_unet.models.unet import Unet
+
+    model = build_model("unet_vgg", 21)
+    variables = init_model(model, (64, 64))
+    pm = Unet(num_classes=21, backbone="vgg", paired_head=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                    .astype("float32"))
+
+    ref_mask = np.asarray(jnp.argmax(model.apply(variables, x, False), -1))
+    feats = pm.apply(variables, x, False)
+    assert feats.shape == (2, 64, 32, 128)
+    masks, hist = fused_final_argmax_hist_paired(
+        feats, variables["params"]["final"]["kernel"],
+        variables["params"]["final"]["bias"], 21, interpret=True)
+    np.testing.assert_array_equal(np.asarray(masks), ref_mask)
+    classes = np.arange(21)
+    ref_hist = (ref_mask[..., None] == classes).sum(axis=(1, 2))
+    np.testing.assert_array_equal(np.asarray(hist).astype(int), ref_hist)

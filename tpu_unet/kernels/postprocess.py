@@ -172,6 +172,83 @@ def fused_final_argmax_hist(features, kernel, bias, num_classes: int,
     return masks[:, 0].reshape(n, h, w), hist
 
 
+def _make_paired_argmax_hist_kernel(block: int, per_img: int, c: int):
+    def kernel(feat_ref, w_ref, b_ref, mask_ref, hist_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+
+        x = feat_ref[...].astype(jnp.float32)          # (block, 2F)
+        logits = jnp.dot(x, w_ref[...].astype(jnp.float32),
+                         preferred_element_type=jnp.float32) + b_ref[...]
+        # logits (block, 2C) = [even-pixel logits | odd-pixel logits];
+        # masked argmaxes avoid lane-offset slices
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        neg = jnp.float32(-3.4e38)
+        cls_e = jnp.argmax(jnp.where(lane < c, logits, neg),
+                           axis=-1, keepdims=True).astype(jnp.int32)
+        cls_o = jnp.argmax(jnp.where(lane >= c, logits, neg),
+                           axis=-1, keepdims=True).astype(jnp.int32) - c
+        mask_ref[...] = jnp.concatenate([cls_e, cls_o], axis=-1)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        onehot = ((cls_e == ci).astype(jnp.float32)
+                  + (cls_o == ci).astype(jnp.float32))
+        counts = jnp.sum(onehot, axis=0, keepdims=True)
+        img = i * block // per_img
+        hist_ref[pl.ds(img, 1), :] += counts
+
+    return kernel
+
+
+def fused_final_argmax_hist_paired(features, kernel, bias, num_classes: int,
+                                   interpret: bool = False):
+    """Paired-layout inference tail: features arrive (N, H, W/2, 2F) with
+    adjacent output columns packed into lanes (the fused decoder's native
+    output — see decoder_fuse.fused_unetup_paired), so the unpair relayout
+    never happens.  One Pallas pass: block-diagonal final 1×1 conv →
+    per-half argmax → (N,H,W) mask + per-image class histogram."""
+    n, h, w2, f2 = features.shape
+    f = f2 // 2
+    kern = kernel.reshape(kernel.shape[-2], kernel.shape[-1])  # (F, C)
+    c = kern.shape[-1]
+    zero = jnp.zeros_like(kern)
+    wd = jnp.concatenate([jnp.concatenate([kern, zero], axis=1),
+                          jnp.concatenate([zero, kern], axis=1)], axis=0)
+    b2 = jnp.concatenate([bias, bias]).reshape(1, 2 * c)
+    rows = n * h * w2
+    block = 1024
+    per_img = h * w2
+    if per_img % block or rows % block:
+        # fall back through the unpaired tail
+        unp = features.reshape(n, h, 2 * w2, f)
+        return fused_final_argmax_hist(unp, kernel, bias, num_classes,
+                                       interpret)
+    flat = features.reshape(rows, f2)
+    masks, hist = pl.pallas_call(
+        _make_paired_argmax_hist_kernel(block, per_img, c),
+        out_shape=(jax.ShapeDtypeStruct((rows, 2), jnp.int32),
+                   jax.ShapeDtypeStruct((n, c), jnp.float32)),
+        grid=(rows // block,),
+        in_specs=[
+            pl.BlockSpec((block, f2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2, 2 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(flat, wd, b2)
+    return masks.reshape(n, h, 2 * w2), hist
+
+
 def _palette_blend_kernel(mask_ref, img_ref, palette_ref, alpha_ref, out_ref):
     """mask (rows,1) int32 + original RGB (rows,3) + palette (C,3) →
     blended uint8 RGB (rows,3): out = img*(1-a) + palette[mask]*a

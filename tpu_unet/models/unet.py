@@ -23,6 +23,12 @@ class Unet(nn.Module):
     backbone: str = "vgg"
     # Unet_vgg/self_net (self_net().py:36-42) = vgg backbone + forced up_conv
     force_up_conv: bool = False
+    # Inference-serving head: return the last decoder stage's output in the
+    # column-paired layout (B, H, W/2, 2·64) and skip the final 1×1 conv —
+    # the fused tail (kernels/postprocess.fused_final_argmax_hist_paired)
+    # applies final+argmax without the unpair relayout.  Parameter tree is
+    # unchanged (a full init's params apply cleanly).
+    paired_head: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,6 +45,10 @@ class Unet(nn.Module):
         up4 = UnetUp(_OUT_FILTERS[3], name="up_concat4")(feat4, feat5, train)
         up3 = UnetUp(_OUT_FILTERS[2], name="up_concat3")(feat3, up4, train)
         up2 = UnetUp(_OUT_FILTERS[1], name="up_concat2")(feat2, up3, train)
+        if (self.paired_head and self.backbone == "vgg"
+                and not self.force_up_conv):
+            return UnetUp(_OUT_FILTERS[0], paired_out=True,
+                          name="up_concat1")(feat1, up2, train)
         up1 = UnetUp(_OUT_FILTERS[0], name="up_concat1")(feat1, up2, train)
 
         if self.backbone == "resnet50" or self.force_up_conv:

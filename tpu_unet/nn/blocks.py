@@ -167,6 +167,7 @@ class UnetUp(nn.Module):
     a single VMEM pass, no relayout copies, full-MXU paired matmuls.
     """
     features: int
+    paired_out: bool = False  # emit (B, 2H, W, 2F) column-paired layout
 
     @nn.compact
     def __call__(self, skip, x, train: bool = False):
@@ -181,11 +182,18 @@ class UnetUp(nn.Module):
 
         from tpu_unet.core.fusion import use_fused_decoder
         if use_fused_decoder() and not self.is_initializing():
-            from tpu_unet.kernels.decoder_fuse import fused_unetup
+            from tpu_unet.kernels.decoder_fuse import (fused_unetup,
+                                                       fused_unetup_paired)
+            if self.paired_out:
+                return fused_unetup_paired(skip, x, k1, b1, k2, b2)
             return fused_unetup(skip, x, k1, b1, k2, b2)
 
         from tpu_unet.kernels.decoder_fuse import reference_unetup
-        return reference_unetup(skip, x, k1, b1, k2, b2)
+        out = reference_unetup(skip, x, k1, b1, k2, b2)
+        if self.paired_out:
+            B, H2, W2, F = out.shape
+            out = out.reshape(B, H2, W2 // 2, 2 * F)
+        return out
 
 
 # ---------------------------------------------------------------------------
