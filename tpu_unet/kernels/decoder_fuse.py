@@ -267,8 +267,12 @@ def _pair_weights(k, Cs, F):
 
 
 def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
-                           keep_paired=False):
-    B, H2, W2, Cs = skip.shape
+                           keep_paired=False, skip_paired=False):
+    if skip_paired:
+        B, H2, Wh, Cs2 = skip.shape
+        W2, Cs = 2 * Wh, Cs2 // 2
+    else:
+        B, H2, W2, Cs = skip.shape
     _, H, W, Cx = x.shape
     assert H2 == 2 * H and W2 == 2 * W, (skip.shape, x.shape)
     F = k1.shape[-1]
@@ -306,6 +310,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     we = np.repeat(we, Cx, axis=1)
     wo = np.repeat(wo, Cx, axis=1)
 
+    if skip_paired and not paired:
+        skip = skip.reshape(B, H2, W2, Cs)  # unpair for the unpaired kernel
     # pad to exact block multiples so the (b, i+1) halo block exists for
     # the last row-tile: skip -> (nT+1)*T rows, x -> (nT+1)*(T//2) rows
     skip_p = jnp.pad(skip, ((0, 0), (2, T - 2), (0, 0), (0, 0)))
@@ -315,7 +321,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
 
     if paired:
-        skip_p = skip_p.reshape(B, skip_p.shape[1], W, 2 * Cs)
+        if not skip_paired:
+            skip_p = skip_p.reshape(B, skip_p.shape[1], W, 2 * Cs)
         k1d, k1e = _pair_weights(k1.astype(dt), Cs, F)
         k2d, k2e = _pair_weights(k2.astype(dt), F, F)
         b1d = jnp.concatenate([b1, b1]).astype(dt)
@@ -388,13 +395,19 @@ def reference_unetup(skip, x, k1, b1, k2, b2):
     return jax.nn.relu(conv(y, k2) + b2.astype(cc.dtype))
 
 
-def fused_unetup_paired(skip, x, k1, b1, k2, b2):
+def fused_unetup_paired(skip, x, k1, b1, k2, b2, skip_paired=False):
     """Inference-only variant that returns the decoder stage output in the
     column-PAIRED layout (B, 2H, W, 2F) — adjacent output columns packed
     into lanes.  Saves the unpair relayout (measured 1.3 ms/step at 512px)
-    when the consumer (the fused final-conv tail) accepts paired input."""
-    out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, keep_paired=True)
+    when the consumer (the fused final-conv tail) accepts paired input.
+    ``skip_paired`` marks the skip input as already column-paired (the
+    fused VGG stem's native output)."""
+    out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, keep_paired=True,
+                                 skip_paired=skip_paired)
     if out is None:
+        if skip_paired:
+            B, H2, Wh, Cs2 = skip.shape
+            skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
         out = reference_unetup(skip, x, k1, b1, k2, b2)
         B, H2, W2, F = out.shape
         return out.reshape(B, H2, W2 // 2, 2 * F)

@@ -31,15 +31,39 @@ _VGG_STAGES = [[0, 2], [5, 7], [10, 12, 14], [17, 19, 21], [24, 26, 28]]
 
 
 class VGG16(nn.Module):
-    """5-stage VGG16 feature pyramid (reference: nets/vgg.py:26-31)."""
+    """5-stage VGG16 feature pyramid (reference: nets/vgg.py:26-31).
+
+    With ``fused_stem`` the first stage + its pool run as one Pallas pass
+    (kernels/stem.py) and feat1 is returned in the column-PAIRED layout
+    (B, H, W/2, 128) for the fused decoder; the parameter tree is
+    unchanged.
+    """
+    fused_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train  # no BN in cfg 'D'
         widths = dict(_VGG_CONVS)
         feats = []
+        start = 0
+        if self.fused_stem and not self.is_initializing():
+            from tpu_unet.core.fusion import use_fused_decoder
+            from tpu_unet.kernels.stem import fused_vgg_stem_impl
+            from tpu_unet.nn.blocks import _ConvParams
+            k11, b11 = _ConvParams(64, 3, name="features_0")()
+            k12, b12 = _ConvParams(64, 64, name="features_2")()
+            res = (fused_vgg_stem_impl(x, k11, b11, k12, b12)
+                   if use_fused_decoder() else None)
+            if res is None:
+                from tpu_unet.kernels.stem import reference_vgg_stem
+                res = reference_vgg_stem(x, k11, b11, k12, b12)
+            feat1_paired, x = res
+            feats.append(feat1_paired)
+            start = 1
         for si, stage in enumerate(_VGG_STAGES):
-            if si > 0:
+            if si < start:
+                continue
+            if si > start:  # the fused stem already pooled stage-1's output
                 x = max_pool2(x)
             for ci in stage:
                 x = nn.relu(conv(widths[ci], 3, name=f"features_{ci}")(x))

@@ -32,8 +32,10 @@ class Unet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        paired_path = (self.paired_head and self.backbone == "vgg"
+                       and not self.force_up_conv)
         if self.backbone == "vgg":
-            feats = VGG16(name="vgg")(x, train)
+            feats = VGG16(name="vgg", fused_stem=paired_path)(x, train)
         elif self.backbone == "resnet50":
             feats = ResNet50(name="resnet")(x, train)
         else:
@@ -45,9 +47,8 @@ class Unet(nn.Module):
         up4 = UnetUp(_OUT_FILTERS[3], name="up_concat4")(feat4, feat5, train)
         up3 = UnetUp(_OUT_FILTERS[2], name="up_concat3")(feat3, up4, train)
         up2 = UnetUp(_OUT_FILTERS[1], name="up_concat2")(feat2, up3, train)
-        if (self.paired_head and self.backbone == "vgg"
-                and not self.force_up_conv):
-            return UnetUp(_OUT_FILTERS[0], paired_out=True,
+        if paired_path:
+            return UnetUp(_OUT_FILTERS[0], paired_out=True, skip_paired=True,
                           name="up_concat1")(feat1, up2, train)
         up1 = UnetUp(_OUT_FILTERS[0], name="up_concat1")(feat1, up2, train)
 

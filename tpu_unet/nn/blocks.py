@@ -167,12 +167,17 @@ class UnetUp(nn.Module):
     a single VMEM pass, no relayout copies, full-MXU paired matmuls.
     """
     features: int
-    paired_out: bool = False  # emit (B, 2H, W, 2F) column-paired layout
+    paired_out: bool = False   # emit (B, 2H, W, 2F) column-paired layout
+    skip_paired: bool = False  # skip arrives column-paired (fused stem)
 
     @nn.compact
     def __call__(self, skip, x, train: bool = False):
         del train
-        cin = skip.shape[-1] + x.shape[-1]
+        # at init the producer (fused stem) is bypassed, so skip arrives
+        # unpaired regardless of the flag
+        skip_paired = self.skip_paired and not self.is_initializing()
+        cs = skip.shape[-1] // 2 if skip_paired else skip.shape[-1]
+        cin = cs + x.shape[-1]
         k1, b1 = _ConvParams(self.features, cin, name="conv1")()
         k2, b2 = _ConvParams(self.features, self.features, name="conv2")()
         # nn.Conv dtype promotion semantics: compute in the promoted dtype
@@ -185,10 +190,17 @@ class UnetUp(nn.Module):
             from tpu_unet.kernels.decoder_fuse import (fused_unetup,
                                                        fused_unetup_paired)
             if self.paired_out:
-                return fused_unetup_paired(skip, x, k1, b1, k2, b2)
+                return fused_unetup_paired(skip, x, k1, b1, k2, b2,
+                                           skip_paired=skip_paired)
+            if skip_paired:
+                B, H2, Wh, Cs2 = skip.shape
+                skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
             return fused_unetup(skip, x, k1, b1, k2, b2)
 
         from tpu_unet.kernels.decoder_fuse import reference_unetup
+        if skip_paired:
+            B, H2, Wh, Cs2 = skip.shape
+            skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
         out = reference_unetup(skip, x, k1, b1, k2, b2)
         if self.paired_out:
             B, H2, W2, F = out.shape
