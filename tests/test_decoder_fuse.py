@@ -80,3 +80,23 @@ def test_unetup_module_fused_flag_equivalence():
         set_fused_decoder(None)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_train_vjp_matches_reference_grads():
+    """fused_unetup_train (kernel-saved residuals, manual conv-transpose
+    backward) matches reference autodiff grads — both kernel modes."""
+    from tpu_unet.kernels.decoder_fuse import fused_unetup_train
+
+    for shape in [(2, 16, 16, 8, 16, 8), (1, 8, 8, 8, 16, 128)]:
+        args = _case(*shape)
+
+        def loss_f(fn):
+            return lambda *a: jnp.mean(fn(*a) ** 2)
+
+        g_ref = jax.grad(loss_f(reference_unetup),
+                         argnums=tuple(range(6)))(*args)
+        g_tr = jax.grad(loss_f(fused_unetup_train),
+                        argnums=tuple(range(6)))(*args)
+        for a, b in zip(g_ref, g_tr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)

@@ -171,10 +171,10 @@ def _conv_rows(src, R, kd, ke, bd, dt):
     return jax.nn.relu(acc.astype(dt) + bd[...][None, :])
 
 
-def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt):
+def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
     def kernel(hw, hsel, valid, valid1, we, wo,
                k1d, k1e, b1d, k2d, k2e, b2d,
-               sk_m, sk_h, x_m, x_h, out_ref):
+               sk_m, sk_h, x_m, x_h, out_ref, *y1_ref):
         i = pl.program_id(1)
         r0 = i * T
 
@@ -190,15 +190,17 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt):
 
         y1 = _conv_rows(cc, T + 2, k1d, k1e, b1d, dt)
         y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
+        if want_y1:  # training residual: the post-relu conv1 activation
+            y1_ref[0][0] = y1[1:T + 1]
         out_ref[0] = _conv_rows(y1, T, k2d, k2e, b2d, dt)
 
     return kernel
 
 
-def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt):
+def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
     def kernel(hw, hsel, valid, valid1, we, wo,
                k1, b1, k2, b2,
-               sk_m, sk_h, x_m, x_h, out_ref):
+               sk_m, sk_h, x_m, x_h, out_ref, *y1_ref):
         i = pl.program_id(1)
         r0 = i * T
 
@@ -229,6 +231,8 @@ def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt):
 
         y1 = conv3(cc, T + 2, k1, b1)
         y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
+        if want_y1:  # training residual: the post-relu conv1 activation
+            y1_ref[0][0] = y1[1:T + 1]
         out_ref[0] = conv3(y1, T, k2, b2)
 
     return kernel
@@ -267,7 +271,8 @@ def _pair_weights(k, Cs, F):
 
 
 def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
-                           keep_paired=False, skip_paired=False):
+                           keep_paired=False, skip_paired=False,
+                           want_y1=False):
     if skip_paired:
         B, H2, Wh, Cs2 = skip.shape
         W2, Cs = 2 * Wh, Cs2 // 2
@@ -328,7 +333,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         b1d = jnp.concatenate([b1, b1]).astype(dt)
         b2d = jnp.concatenate([b2, b2]).astype(dt)
         weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
-        kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, dt)
+        kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1)
         out_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
         out_spec = pl.BlockSpec((1, T, W, 2 * F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -336,7 +341,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     else:
         weight_args = (k1.astype(dt), b1.astype(dt),
                        k2.astype(dt), b2.astype(dt))
-        kernel = _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt)
+        kernel = _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1)
         out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
         out_spec = pl.BlockSpec((1, T, W2, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -354,6 +359,9 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i + 1, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if want_y1:
+        out_shape = (out_shape, out_shape)
+        out_spec = (out_spec, out_spec)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -371,11 +379,16 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
       jnp.asarray(validx).astype(dt), jnp.asarray(valid1).astype(dt),
       jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
       *weight_args, skip_p, skip_p, x_p, x_p)
-
+    if want_y1:
+        out, y1 = out
     if paired and not keep_paired:
         out = out.reshape(B, H2, W2, F)
+        if want_y1:
+            y1 = y1.reshape(B, H2, W2, F)
     elif not paired and keep_paired:
         out = out.reshape(B, H2, W2 // 2, 2 * F)
+    if want_y1:
+        return out, y1
     return out
 
 
@@ -432,3 +445,61 @@ def _bwd(res, g):
 
 
 fused_unetup.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def fused_unetup_train(skip, x, k1, b1, k2, b2):
+    """Training variant: forward = the fused kernel, backward = manual
+    conv transposes over KERNEL-SAVED residuals (out + the post-relu conv1
+    activation y1).  The plain `fused_unetup` VJP re-runs the whole XLA
+    composition to rebuild intermediates — that remat costs more than the
+    kernel saves, so training with it was measured SLOWER than pure XLA
+    (45.5 vs 56.7 img/s/chip).  Saving y1 removes the remat of both convs;
+    only the ×2 upsample + concat are recomputed for the conv1 weight
+    gradient."""
+    out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2)
+    if out is None:
+        return reference_unetup(skip, x, k1, b1, k2, b2)
+    return out
+
+
+def _conv_same(v, k, b):
+    dn = jax.lax.conv_dimension_numbers(v.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        v, k.astype(v.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=dn) + b.astype(v.dtype)
+
+
+def _train_fwd(skip, x, k1, b1, k2, b2):
+    res = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, want_y1=True)
+    if res is None:
+        out = reference_unetup(skip, x, k1, b1, k2, b2)
+        return out, (skip, x, k1, b1, k2, b2, None, None)
+    out, y1 = res
+    return out, (skip, x, k1, b1, k2, b2, y1, out)
+
+
+def _train_bwd(res, g):
+    skip, x, k1, b1, k2, b2, y1, out = res
+    if y1 is None:
+        _, vjp = jax.vjp(reference_unetup, skip, x, k1, b1, k2, b2)
+        return vjp(g)
+    from tpu_unet.nn.resize import upsample2x
+
+    cs = skip.shape[-1]
+    g2 = jnp.where(out > 0, g, 0).astype(y1.dtype)
+    _, vjp2 = jax.vjp(_conv_same, y1, k2, b2)
+    dy1, dk2, db2 = vjp2(g2)
+    g1 = jnp.where(y1 > 0, dy1, 0)
+    up, vjpu = jax.vjp(upsample2x, x)
+    cc = jnp.concatenate([skip, up.astype(skip.dtype)], axis=-1)
+    _, vjp1 = jax.vjp(_conv_same, cc, k1, b1)
+    dcc, dk1, db1 = vjp1(g1)
+    dskip = dcc[..., :cs]
+    dx, = vjpu(dcc[..., cs:].astype(up.dtype))
+    return (dskip, dx.astype(x.dtype), dk1.astype(k1.dtype),
+            db1.astype(b1.dtype), dk2.astype(k2.dtype), db2.astype(b2.dtype))
+
+
+fused_unetup_train.defvjp(_train_fwd, _train_bwd)

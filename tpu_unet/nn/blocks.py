@@ -172,7 +172,6 @@ class UnetUp(nn.Module):
 
     @nn.compact
     def __call__(self, skip, x, train: bool = False):
-        del train
         # at init the producer (fused stem) is bypassed, so skip arrives
         # unpaired regardless of the flag
         skip_paired = self.skip_paired and not self.is_initializing()
@@ -188,13 +187,27 @@ class UnetUp(nn.Module):
         from tpu_unet.core.fusion import use_fused_decoder
         if use_fused_decoder() and not self.is_initializing():
             from tpu_unet.kernels.decoder_fuse import (fused_unetup,
-                                                       fused_unetup_paired)
+                                                       fused_unetup_paired,
+                                                       fused_unetup_train,
+                                                       reference_unetup)
             if self.paired_out:
                 return fused_unetup_paired(skip, x, k1, b1, k2, b2,
                                            skip_paired=skip_paired)
             if skip_paired:
                 B, H2, Wh, Cs2 = skip.shape
                 skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
+            if train:
+                # Training default: the plain XLA composition.  XLA's
+                # autodiff already saves cc/y1 (no remat), keeps layouts
+                # consistent end-to-end, and measured fastest on v5e at
+                # 512px/bs8: XLA 57.2 img/s vs kernel+saved-residual VJP
+                # 48.7 vs kernel+remat VJP 45.5 — the Pallas boundary
+                # relayouts in the backward graph eat the kernel's forward
+                # win.  TPU_UNET_FUSED_TRAIN=1 opts into the kernel path.
+                import os
+                if os.environ.get("TPU_UNET_FUSED_TRAIN") == "1":
+                    return fused_unetup_train(skip, x, k1, b1, k2, b2)
+                return reference_unetup(skip, x, k1, b1, k2, b2)
             return fused_unetup(skip, x, k1, b1, k2, b2)
 
         from tpu_unet.kernels.decoder_fuse import reference_unetup

@@ -142,27 +142,70 @@ def _total_loss(outputs, target, onehot, cfg: StepConfig):
 
 def make_train_step(model, cfg: StepConfig) -> Callable:
     """Returns jitted (state, batch, lr, dropout_key) → (state, metrics)."""
+    # The fused Pallas loss covers the standard CE(+dice) single-output
+    # recipe; focal / deep-supervision / resized-logits cases use the jnp
+    # path.  Profiled at 512px/bs8: the jnp loss pipeline (3 softmaxes, an
+    # f32 one-hot megatensor, autodiff backward) costs ~16 ms/step.
+    fused_loss_ok = not cfg.use_focal and not cfg.aux_weights
 
     def train_step(state: TrainState, batch, lr, dropout_key):
         imgs, target, onehot = _prepare_batch(batch, cfg.num_classes,
                                               cfg.compute_dtype)
 
-        def loss_fn(params):
-            outputs, mut = model.apply(
+        def apply_model(params):
+            return model.apply(
                 {"params": _cast_params(params, cfg.compute_dtype),
                  "batch_stats": state.batch_stats},
                 imgs, True, rngs={"dropout": dropout_key},
                 mutable=["batch_stats"])
-            loss, main = _total_loss(outputs, target, onehot, cfg)
-            return loss, (mut["batch_stats"], main)
 
-        (loss, (new_stats, main)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        def loss_fn(params):
+            outputs, mut = apply_model(params)
+            loss, main = _total_loss(outputs, target, onehot, cfg)
+            return loss, (mut["batch_stats"], f_score(main, onehot))
+
+        def fused_loss_fn(params):
+            from tpu_unet.kernels.loss import ce_dice_loss_grad
+
+            outputs, mut = apply_model(params)
+            out = outputs[0] if isinstance(outputs, (tuple, list)) \
+                else outputs
+            loss, fs = ce_dice_loss_grad(
+                out, target, cfg.cls_weights, cfg.num_classes,
+                with_dice=cfg.use_dice,
+                interpret=jax.default_backend() == "cpu")
+            return loss, (mut["batch_stats"], fs)
+
+        use_fused = fused_loss_ok and _fused_shape_ok(
+            model, state, imgs, target, cfg, dropout_key)
+        fn = fused_loss_fn if use_fused else loss_fn
+        (loss, (new_stats, fs)), grads = jax.value_and_grad(
+            fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_stats, lr)
-        metrics = {"loss": loss, "f_score": f_score(main, onehot)}
+        metrics = {"loss": loss, "f_score": fs}
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _fused_shape_ok(model, state, imgs, target, cfg, dropout_key):
+    """Trace-time check: fused loss needs logits at target resolution.
+    Operates purely on ShapeDtypeStructs — no tracer capture."""
+    del dropout_key
+    sds = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        {"params": state.params, "batch_stats": state.batch_stats})
+    img_sds = jax.ShapeDtypeStruct(imgs.shape, imgs.dtype)
+    try:
+        shapes = jax.eval_shape(
+            lambda v, im: model.apply(
+                v, im, True, rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"])[0],
+            sds, img_sds)
+        out = shapes[0] if isinstance(shapes, (tuple, list)) else shapes
+        return tuple(out.shape[1:3]) == tuple(target.shape[1:3])
+    except Exception:
+        return False
 
 
 def make_eval_step(model, cfg: StepConfig) -> Callable:
