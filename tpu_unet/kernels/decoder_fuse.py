@@ -457,10 +457,20 @@ def fused_unetup_train(skip, x, k1, b1, k2, b2):
     (45.5 vs 56.7 img/s/chip).  Saving y1 removes the remat of both convs;
     only the ×2 upsample + concat are recomputed for the conv1 weight
     gradient."""
+    if not _train_kernel_ok(skip, k1):
+        return reference_unetup(skip, x, k1, b1, k2, b2)
     out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2)
     if out is None:
         return reference_unetup(skip, x, k1, b1, k2, b2)
     return out
+
+
+def _train_kernel_ok(skip, k1):
+    """Use the kernel in training only for PAIRED stages (F < 128): those
+    are where XLA's forward conv runs at ~37% MXU (half-filled lanes);
+    the unpaired stages measured faster through XLA end-to-end."""
+    F = k1.shape[-1]
+    return F < 128 and skip.shape[-1] % 2 == 0 and F % 8 == 0
 
 
 def _conv_same(v, k, b):
@@ -472,7 +482,8 @@ def _conv_same(v, k, b):
 
 
 def _train_fwd(skip, x, k1, b1, k2, b2):
-    res = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, want_y1=True)
+    res = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, want_y1=True)
+           if _train_kernel_ok(skip, k1) else None)
     if res is None:
         out = reference_unetup(skip, x, k1, b1, k2, b2)
         return out, (skip, x, k1, b1, k2, b2, None, None)

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK = 2048
+_BLOCK = 16384
 
 
 def _round_up(x, m):
@@ -49,7 +49,7 @@ def _reduce_kernel(c, nc_pad, threshold):
             out_ref[...] = jnp.zeros_like(out_ref)
 
         x = logits_ref[...].astype(jnp.float32)          # (B, C)
-        t = tgt_ref[...]                                  # (B, 1) i32
+        t = tgt_ref[...].astype(jnp.int32)                # (B, 1) int8
         logp = jax.nn.log_softmax(x, axis=-1)
         probs = jnp.exp(logp)
         ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -84,7 +84,7 @@ def _grad_kernel(c, dt):
     def kernel(logits_ref, tgt_ref, w_ref, coefA_ref, coefB_ref,
                scal_ref, dlog_ref):
         x = logits_ref[...].astype(jnp.float32)
-        t = tgt_ref[...]
+        t = tgt_ref[...].astype(jnp.int32)
         probs = jax.nn.softmax(x, axis=-1)
         ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         onehot = (ci == t).astype(jnp.float32)
@@ -109,7 +109,10 @@ def _flatten(logits, target):
     n, h, w, c = logits.shape
     rows = n * h * w
     flat = logits.reshape(rows, c)
-    tgt = target.reshape(rows, 1).astype(jnp.int32)
+    # int8 target: the (rows, 1) layout is lane-padded to 128 in HBM, so
+    # i32 would cost a 128x-bloated 1 GB relayout write + two 1 GB kernel
+    # reads at 512px/bs8 (profiled at ~4 ms/step); int8 quarters it
+    tgt = target.reshape(rows, 1).astype(jnp.int8)
     pad = (-rows) % _BLOCK
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
@@ -139,6 +142,8 @@ def _reductions(logits, target, cls_weights, num_classes,
         ],
         out_specs=pl.BlockSpec((6, nc_pad), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(flat, tgt, w)
     s_wnll, s_w = out[0, 0], out[0, 1]
@@ -248,6 +253,8 @@ def _vjp_bwd(cls_weights, num_classes, with_dice, interpret, res, g):
         ],
         out_specs=pl.BlockSpec((_BLOCK, nc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(flat, tgt, w, A.reshape(1, nc), B.reshape(1, nc),
       (gl / jnp.maximum(s_w, 1e-12)).reshape(1, 1))
