@@ -76,12 +76,17 @@ def _col_arrays(W: int):
             w[1::2].reshape(-1, 1).astype(np.float32))
 
 
-def _pick_tile(H2: int, W: int, c_total: int, itemsize: int) -> int:
+def _pick_tile(H2: int, W: int, c_total: int, itemsize: int,
+               cx: int = 0) -> int:
     """Output-row tile size.  The halo-block pipeline needs T >= 8 and
-    T | H2; VMEM calibration on v5e: T=8 compiles for every UNet decoder
-    stage (~2.6 MB concat tile), T=16 only for small tiles."""
+    T | H2.  Caps calibrated on v5e with the 100 MB scoped-VMEM limit
+    (CompilerParams below): T=16 halves the grid-step count and measured
+    faster for the wide shallow stages, but slower once the upsampled
+    feature is deep (Cx > 384: the f32 lerp window stops fitting cleanly)."""
     for t in (16, 8):
-        cap = (2 << 20) if t == 16 else (6 << 20)
+        cap = (6 << 20) if t == 16 else (8 << 20)
+        if t == 16 and cx > 384:
+            continue
         if H2 % t == 0 and t * W * c_total * itemsize <= cap:
             return t
     return 8  # caller rejects if H2 % 8 != 0
@@ -288,7 +293,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     c_total = 2 * (Cp + 2 * F) if paired else (Cp + 2 * F)
     wk = W if paired else W2
     T = block_rows or _pick_tile(H2, wk, c_total,
-                                 2 if dt == jnp.bfloat16 else 4)
+                                 2 if dt == jnp.bfloat16 else 4, cx=Cx)
     E = T + 4
     win = T // 2 + 4
     # halo comes from the NEXT block, so the halo rows (4 / 4) must fit one
