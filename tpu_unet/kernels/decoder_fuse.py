@@ -223,7 +223,10 @@ def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
         def conv3(src, R, k, bias):
             # shift the f32 results per kx (3 shifts) instead of the wide
             # bf16 inputs per (ky, kx); sequential kx folding keeps at
-            # most two f32 accumulators live (VMEM)
+            # most two f32 accumulators live (VMEM).  (A wide-K variant —
+            # kx folded into the contraction dim — measured +4% in
+            # isolation but -9% e2e: the 3x concat buffer wrecks the
+            # grid pipeline's VMEM headroom.)
             def kxsum(kx):
                 t = _mm(src[0:R], k[0, kx])
                 for ky in (1, 2):
@@ -375,7 +378,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         len(weight_args) + data_specs,
         out_specs=out_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             # the deep stages keep ~25 MB of f32 accumulators + bf16
             # operands live; v5e has 128 MB VMEM, default scoped cap is 16
             vmem_limit_bytes=100 * 1024 * 1024),

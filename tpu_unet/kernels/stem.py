@@ -171,7 +171,7 @@ def fused_vgg_stem_impl(x, k11, b11, k12, b12):
                          memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(vcc).astype(dt), jnp.asarray(v1),
