@@ -26,12 +26,16 @@ def _case(B, H, W, F):
                                    (1, 48, 64, 8)])
 def test_stem_matches_reference(shape):
     args = _case(*shape)
+    H = shape[1]
     ref_skip, ref_pool = reference_vgg_stem(*args)
     out = jax.jit(fused_vgg_stem_impl)(*args)
     assert out is not None
     skip, pool = out
-    np.testing.assert_allclose(np.asarray(skip), np.asarray(ref_skip),
-                               rtol=1e-5, atol=1e-5)
+    # the skip comes back in the decoder's pre-padded layout: 8 lead +
+    # 8 tail rows around the data
+    assert skip.shape[1] == H + 16
+    np.testing.assert_allclose(np.asarray(skip[:, 8:8 + H]),
+                               np.asarray(ref_skip), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pool), np.asarray(ref_pool),
                                rtol=1e-5, atol=1e-5)
 
@@ -39,6 +43,7 @@ def test_stem_matches_reference(shape):
 def test_vgg16_fused_stem_flag_equivalence():
     """VGG16(fused_stem=True) == VGG16() feature-for-feature (feat1 in the
     paired layout), with an identical parameter tree."""
+    from tpu_unet.core.fusion import set_fused_decoder
     from tpu_unet.models.backbones import VGG16
 
     x = jnp.asarray(RNG.rand(1, 32, 32, 3).astype(np.float32))
@@ -49,12 +54,43 @@ def test_vgg16_fused_stem_flag_equivalence():
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
 
     feats_ref = ref.apply(v, x)
-    feats_fused = fused.apply(v, x)
+    try:
+        set_fused_decoder(True)  # stem kernel active (interpret on CPU)
+        feats_fused = fused.apply(v, x)
+    finally:
+        set_fused_decoder(None)
     B, H, W, C = feats_ref[0].shape
     np.testing.assert_allclose(
-        np.asarray(feats_fused[0]),
+        np.asarray(feats_fused[0][:, 8:8 + H]),
         np.asarray(feats_ref[0].reshape(B, H, W // 2, 2 * C)),
         rtol=1e-5, atol=1e-5)
     for a, b in zip(feats_fused[1:], feats_ref[1:]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_paired_pipeline_with_prepadded_skip():
+    """Whole fused serving pipeline on CPU interpret: stem kernel emitting
+    the pre-padded skip -> paired decoder stage consuming it -> mask parity
+    with the plain XLA path."""
+    from tpu_unet.core.fusion import set_fused_decoder
+    from tpu_unet.kernels.postprocess import fused_final_argmax_hist_paired
+    from tpu_unet.models.registry import build_model, init_model
+    from tpu_unet.models.unet import Unet
+
+    model = build_model("unet_vgg", 21)
+    variables = init_model(model, (64, 64))
+    pm = Unet(num_classes=21, backbone="vgg", paired_head=True)
+    x = jnp.asarray(RNG.rand(1, 64, 64, 3).astype(np.float32))
+
+    ref_mask = np.asarray(jnp.argmax(model.apply(variables, x, False), -1))
+    try:
+        set_fused_decoder(True)
+        feats = pm.apply(variables, x, False)
+    finally:
+        set_fused_decoder(None)
+    assert feats.shape == (1, 64, 32, 128)
+    masks, _ = fused_final_argmax_hist_paired(
+        feats, variables["params"]["final"]["kernel"],
+        variables["params"]["final"]["bias"], 21, interpret=True)
+    np.testing.assert_array_equal(np.asarray(masks), ref_mask)

@@ -176,8 +176,9 @@ def _conv_rows(src, R, kd, ke, bd, dt):
     return jax.nn.relu(acc.astype(dt) + bd[...][None, :])
 
 
-def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
-    def kernel(hw, hsel, valid, valid1, we, wo,
+def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False,
+                   lead_off=0):
+    def kernel(hw, hsel, valid, valid1, skv, we, wo,
                k1d, k1e, b1d, k2d, k2e, b2d,
                sk_m, sk_h, x_m, x_h, out_ref, *y1_ref):
         i = pl.program_id(1)
@@ -190,7 +191,14 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
         even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
         # paired channel order [skip-even, skip-odd, up-even, up-odd];
         # every operand is an offset-0 value (Mosaic concat constraint)
-        sk = jnp.concatenate([sk_m[0], sk_h[0, :4]], axis=0)
+        sk = jnp.concatenate([sk_m[0, lead_off:], sk_h[0, :4 + lead_off]],
+                             axis=0)
+        if lead_off:
+            # pre-padded producer buffer: the two boundary blocks are
+            # uninitialized — a where-select (NaN-safe) zeroes the
+            # out-of-image halo rows the conv must see as zero padding
+            sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0, sk,
+                           jnp.zeros_like(sk))
         cc = jnp.concatenate([sk, even, odd], axis=-1)
 
         y1 = _conv_rows(cc, T + 2, k1d, k1e, b1d, dt)
@@ -203,9 +211,10 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
 
 
 def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
-    def kernel(hw, hsel, valid, valid1, we, wo,
+    def kernel(hw, hsel, valid, valid1, skv, we, wo,
                k1, b1, k2, b2,
                sk_m, sk_h, x_m, x_h, out_ref, *y1_ref):
+        del skv
         i = pl.program_id(1)
         r0 = i * T
 
@@ -281,13 +290,20 @@ def _pair_weights(k, Cs, F):
 def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
                            keep_paired=False, skip_paired=False,
                            want_y1=False):
-    if skip_paired:
-        B, H2, Wh, Cs2 = skip.shape
-        W2, Cs = 2 * Wh, Cs2 // 2
-    else:
-        B, H2, W2, Cs = skip.shape
     _, H, W, Cx = x.shape
-    assert H2 == 2 * H and W2 == 2 * W, (skip.shape, x.shape)
+    H2, W2 = 2 * H, 2 * W
+    # a producer (the fused stem) may hand the skip over PRE-PADDED: 8
+    # lead + 8 tail rows, written one block down (kernels/stem.py)
+    skip_prepadded = skip_paired and skip.shape[1] == H2 + 16
+    if skip_paired:
+        B, _, Wh, Cs2 = skip.shape
+        Cs = Cs2 // 2
+        assert Wh * 2 == W2, (skip.shape, x.shape)
+    else:
+        B = skip.shape[0]
+        Cs = skip.shape[-1]
+        assert skip.shape[1] == H2 and skip.shape[2] == W2, (
+            skip.shape, x.shape)
     F = k1.shape[-1]
     Cp = Cs + Cx
     dt = x.dtype
@@ -323,15 +339,29 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     we = np.repeat(we, Cx, axis=1)
     wo = np.repeat(wo, Cx, axis=1)
 
+    # the pre-padded layout needs the 20-row window to fit main+halo
+    # blocks at an 8-row lead: only T=16 satisfies 2T-8 >= T+2 + alignment
+    use_prepad = skip_prepadded and paired and T == 16
+    if skip_prepadded and not use_prepad:
+        skip = jax.lax.slice_in_dim(skip, 8, 8 + H2, axis=1)
+        skip_prepadded = False
     if skip_paired and not paired:
         skip = skip.reshape(B, H2, W2, Cs)  # unpair for the unpaired kernel
     # pad to exact block multiples so the (b, i+1) halo block exists for
     # the last row-tile: skip -> (nT+1)*T rows, x -> (nT+1)*(T//2) rows
-    skip_p = jnp.pad(skip, ((0, 0), (2, T - 2), (0, 0), (0, 0)))
+    if use_prepad:
+        skip_p = skip  # already (nT+1)*T rows with an 8-row lead
+    else:
+        skip_p = jnp.pad(skip, ((0, 0), (2, T - 2), (0, 0), (0, 0)))
     x_p = jnp.pad(x, ((0, 0), (2, T // 2 - 2), (0, 0), (0, 0)))
 
+    rs = np.arange(-2, H2 + 2)
+    skv = np.repeat(((rs >= 0) & (rs < H2)).astype(np.float32
+                                                   ).reshape(-1, 1),
+                    2 * Cs if paired else Cs, axis=1)
+
     grid = (B, H2 // T)
-    coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
 
     if paired:
         if not skip_paired:
@@ -341,7 +371,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         b1d = jnp.concatenate([b1, b1]).astype(dt)
         b2d = jnp.concatenate([b2, b2]).astype(dt)
         weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
-        kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1)
+        kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1,
+                                lead_off=6 if use_prepad else 0)
         out_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
         out_spec = pl.BlockSpec((1, T, W, 2 * F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -385,6 +416,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         interpret=jax.default_backend() == "cpu",
     )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
       jnp.asarray(validx).astype(dt), jnp.asarray(valid1).astype(dt),
+      jnp.asarray(skv).astype(dt),
       jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
       *weight_args, skip_p, skip_p, x_p, x_p)
     if want_y1:
@@ -427,7 +459,10 @@ def fused_unetup_paired(skip, x, k1, b1, k2, b2, skip_paired=False):
                                  skip_paired=skip_paired)
     if out is None:
         if skip_paired:
-            B, H2, Wh, Cs2 = skip.shape
+            B, _, Wh, Cs2 = skip.shape
+            H2 = 2 * x.shape[1]
+            if skip.shape[1] == H2 + 16:  # pre-padded stem buffer
+                skip = jax.lax.slice_in_dim(skip, 8, 8 + H2, axis=1)
             skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
         out = reference_unetup(skip, x, k1, b1, k2, b2)
         B, H2, W2, F = out.shape

@@ -158,14 +158,18 @@ def fused_vgg_stem_impl(x, k11, b11, k12, b12):
                                                   H // 2 - 1), 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    skip_paired, pooled = pl.pallas_call(
+    # The paired skip is written one 8-row block DOWN into an (H + 16)-row
+    # buffer: exactly the lead/tail-padded layout the fused decoder's
+    # stage-1 kernel tiles over (it zero-masks the two uninitialized
+    # boundary blocks in-kernel), so the host-side pad copy never runs.
+    skip_padded, pooled = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((B, H, Wp, 2 * F), dt),
+        out_shape=(jax.ShapeDtypeStruct((B, H + 2 * _T, Wp, 2 * F), dt),
                    jax.ShapeDtypeStruct((B, H // 2, Wp, F), dt)),
         grid=grid,
         in_specs=coef_specs + data_specs,
         out_specs=(
-            pl.BlockSpec((1, _T, Wp, 2 * F), lambda b, t: (b, t, 0, 0),
+            pl.BlockSpec((1, _T, Wp, 2 * F), lambda b, t: (b, t + 1, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _T // 2, Wp, F), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -176,7 +180,7 @@ def fused_vgg_stem_impl(x, k11, b11, k12, b12):
         interpret=interpret,
     )(jnp.asarray(vcc).astype(dt), jnp.asarray(v1),
       k11p, b11p, k12d, k12e, b12d, xp, xp, xp)
-    return skip_paired, pooled
+    return skip_padded, pooled
 
 
 def reference_vgg_stem(x, k11, b11, k12, b12):
