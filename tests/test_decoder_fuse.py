@@ -31,6 +31,9 @@ def _case(B, H, W, Cs, Cx, F):
     ((2, 32, 16, 16, 8, 64), "paired"),
     ((1, 8, 8, 8, 16, 128), "unpaired"),
     ((1, 16, 8, 16, 32, 256), "unpaired"),
+    # Cx % 128 == 0 → the in-kernel MXU H-lerp path
+    ((1, 8, 8, 8, 128, 8), "paired-mxu"),
+    ((1, 8, 8, 8, 128, 128), "unpaired-mxu"),
 ])
 def test_fused_matches_reference(shape, mode):
     args = _case(*shape)

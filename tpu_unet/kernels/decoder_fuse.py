@@ -115,6 +115,39 @@ def _h_upsample_rows(xs, hw_b, hsel_b, r0, H2, E):
     return lo + (hi - lo) * hw_b[:, None, :]
 
 
+def _h_upsample_mxu(xs2d, hwc, hselc, validc, E, win, dt):
+    """H-axis ×2 lerp as ONE small MXU matmul: h = L @ xs.
+
+    xs2d is the 2D row window (win, W*C); L (E, win) is built in-register
+    from the compact per-row coefficient columns — L[e, lo(e)] = valid-hw,
+    L[e, lo(e)+1] = hw, where lo(e) = (e+2)//2 if hsel else e//2 (the same
+    interleave identity the VPU path used).  Out-of-image rows fold to
+    all-zero L rows, so no separate validity pass is needed.  Replaces the
+    repw-interleave + two selects + lerp chain (~7 VPU passes over
+    (E, W, C)) with a (E, win)x(win, W*C) contraction.
+    """
+    ein = jax.lax.broadcasted_iota(jnp.int32, (E, win), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (E, win), 1)
+    lo_i = jnp.where(hselc != 0.0, (ein + 2) // 2, ein // 2)
+    a = validc - hwc                       # valid*(1-w); 0 for OOB rows
+    L = jnp.where(li == lo_i, a, 0.0) + jnp.where(li == lo_i + 1, hwc, 0.0)
+    return jax.lax.dot_general(
+        L.astype(dt), xs2d,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _w_expand_pair_2d(h2, we2, wo2, C):
+    """2D-lane-space ×2 W-lerp of h2 (E, W*C) f32: shifts by one
+    column-group are offset-0 / 128-aligned lane concats (C is a
+    multiple of 128 for every decoder stage)."""
+    hm1 = jnp.concatenate([h2[:, :C], h2[:, :-C]], axis=1)
+    hp1 = jnp.concatenate([h2[:, C:], h2[:, -C:]], axis=1)
+    even = hm1 + (h2 - hm1) * we2
+    odd = h2 + (hp1 - h2) * wo2
+    return even, odd
+
+
 def _shift_cols_zero(a, d):
     """out[:, j] = a[:, j + d], zero where j + d is out of range.
 
@@ -176,19 +209,28 @@ def _conv_rows(src, R, kd, ke, bd, dt):
     return jax.nn.relu(acc.astype(dt) + bd[...][None, :])
 
 
-def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False,
-                   lead_off=0):
+def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
+                   lead_off=0, mxu_lerp=False):
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
                k1d, k1e, b1d, k2d, k2e, b2d,
                sk_m, sk_h, x_m, x_h, out_ref, *y1_ref):
         i = pl.program_id(1)
         r0 = i * T
 
-        xs = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
-        hv = hw[pl.ds(r0, E)]
-        h = _h_upsample_rows(xs, hv, hsel[pl.ds(r0, E)], r0, H2, E)
-        h = h * valid[pl.ds(r0, E)][:, None, :]
-        even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
+        if mxu_lerp:
+            xs2d = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
+            h2 = _h_upsample_mxu(xs2d, hw[pl.ds(r0, E)],
+                                 hsel[pl.ds(r0, E)], valid[pl.ds(r0, E)],
+                                 E, win, dt)
+            even2, odd2 = _w_expand_pair_2d(h2, we[...], wo[...], Cx)
+            even = even2.reshape(E, W, Cx).astype(dt)
+            odd = odd2.reshape(E, W, Cx).astype(dt)
+        else:
+            xs = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
+            h = _h_upsample_rows(xs, hw[pl.ds(r0, E)],
+                                 hsel[pl.ds(r0, E)], r0, H2, E)
+            h = h * valid[pl.ds(r0, E)][:, None, :]
+            even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
         # paired channel order [skip-even, skip-odd, up-even, up-odd];
         # every operand is an offset-0 value (Mosaic concat constraint)
         sk = jnp.concatenate([sk_m[0, lead_off:], sk_h[0, :4 + lead_off]],
@@ -210,7 +252,8 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False,
     return kernel
 
 
-def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
+def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
+                     mxu_lerp=False):
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
                k1, b1, k2, b2,
                sk_m, sk_h, x_m, x_h, out_ref, *y1_ref):
@@ -218,11 +261,20 @@ def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1=False):
         i = pl.program_id(1)
         r0 = i * T
 
-        xs = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
-        h = _h_upsample_rows(xs, hw[pl.ds(r0, E)],
-                             hsel[pl.ds(r0, E)], r0, H2, E)
-        h = h * valid[pl.ds(r0, E)][:, None, :]
-        even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
+        if mxu_lerp:
+            xs2d = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
+            h2 = _h_upsample_mxu(xs2d, hw[pl.ds(r0, E)],
+                                 hsel[pl.ds(r0, E)], valid[pl.ds(r0, E)],
+                                 E, win, dt)
+            even2, odd2 = _w_expand_pair_2d(h2, we[...], wo[...], Cx)
+            even = even2.reshape(E, W, Cx).astype(dt)
+            odd = odd2.reshape(E, W, Cx).astype(dt)
+        else:
+            xs = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
+            h = _h_upsample_rows(xs, hw[pl.ds(r0, E)],
+                                 hsel[pl.ds(r0, E)], r0, H2, E)
+            h = h * valid[pl.ds(r0, E)][:, None, :]
+            even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
         # interleave columns: ups[:, 2j] = even[:, j], ups[:, 2j+1] = odd[:, j]
         st = jnp.concatenate([even[:, :, None], odd[:, :, None]], axis=2)
         ups = st.reshape(E, 2 * even.shape[1], even.shape[2])
@@ -319,25 +371,38 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # block: T//2 >= 4
     if T % 2 or T < 8 or H2 % T:
         return None  # shapes this kernel can't tile; caller falls back
-    if not paired and H <= 32 and Cp >= 1024:
+    import os
+    if (not paired and H <= 32 and Cp >= 1024
+            and os.environ.get("TPU_UNET_FUSE_DEEP") != "1"):
         # deepest stage (tiny spatial, heavy channels): XLA's native conv
         # pipeline wins — measured 0.89x on v5e at (32², 1024→512)
         return None
 
     hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
-    # pre-broadcast to the lane width of each consumer (Mosaic:
-    # narrow-dtype broadcasts are sublane-only), cast to compute dtype
     cw = 2 * F if paired else F
-    hw = np.repeat(hw, Cx, axis=1)
-    hsel = np.repeat(hsel, Cx, axis=1)
-    validx = np.repeat(valid, Cx, axis=1)
     r1 = np.arange(-1, H2 + 1)
     valid1 = np.repeat(((r1 >= 0) & (r1 < H2)).astype(np.float32
                                                       ).reshape(-1, 1),
                        cw, axis=1)
-    we = np.repeat(we, Cx, axis=1)
-    wo = np.repeat(wo, Cx, axis=1)
+    # H-lerp as an in-kernel MXU matmul whenever Cx is lane-tile aligned
+    # (every real decoder stage); the row coefficients then stay compact
+    # f32 columns.  Otherwise the VPU path needs them pre-broadcast to Cx
+    # lanes (Mosaic: narrow-dtype broadcasts are sublane-only).
+    # the 2D x-window block needs (T//2) % 8 == 0 (Mosaic sublane tiling);
+    # the paired stage measured faster with the VPU chain (its f32 2D
+    # intermediates crowd the T=16 pipeline), the unpaired stage with MXU
+    mxu_lerp = Cx % 128 == 0 and (T // 2) % 8 == 0 and not paired
+    if mxu_lerp:
+        validx = valid
+        we = np.repeat(we.ravel(), Cx).reshape(1, W * Cx)
+        wo = np.repeat(wo.ravel(), Cx).reshape(1, W * Cx)
+    else:
+        hw = np.repeat(hw, Cx, axis=1)
+        hsel = np.repeat(hsel, Cx, axis=1)
+        validx = np.repeat(valid, Cx, axis=1)
+        we = np.repeat(we, Cx, axis=1)
+        wo = np.repeat(wo, Cx, axis=1)
 
     # the pre-padded layout needs the 20-row window to fit main+halo
     # blocks at an 8-row lead: only T=16 satisfies 2T-8 >= T+2 + alignment
@@ -371,8 +436,9 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         b1d = jnp.concatenate([b1, b1]).astype(dt)
         b2d = jnp.concatenate([b2, b2]).astype(dt)
         weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
-        kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1,
-                                lead_off=6 if use_prepad else 0)
+        kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1,
+                                lead_off=6 if use_prepad else 0,
+                                mxu_lerp=mxu_lerp)
         out_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
         out_spec = pl.BlockSpec((1, T, W, 2 * F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -380,7 +446,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     else:
         weight_args = (k1.astype(dt), b1.astype(dt),
                        k2.astype(dt), b2.astype(dt))
-        kernel = _unpaired_kernel(T, E, win, Cs, Cx, F, H2, dt, want_y1)
+        kernel = _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
+                                  want_y1, mxu_lerp=mxu_lerp)
         out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
         out_spec = pl.BlockSpec((1, T, W2, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -388,20 +455,31 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
 
     # the overlapping row windows are expressed as main-block + next-block
     # halo inputs so Mosaic's grid pipeline double-buffers all DMAs
+    if mxu_lerp:
+        x_p = x_p.reshape(B, x_p.shape[1], W * Cx)
+        x_specs = [
+            pl.BlockSpec((1, T // 2, W * Cx), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T // 2, W * Cx), lambda b, i: (b, i + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        x_specs = [
+            pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     data_specs = [
         pl.BlockSpec((1, T, wsk, csk), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T, wsk, csk), lambda b, i: (b, i + 1, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i + 1, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    ] + x_specs
     if want_y1:
         out_shape = (out_shape, out_shape)
         out_spec = (out_spec, out_spec)
-    out = pl.pallas_call(
+    out_call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid=grid,
@@ -414,11 +492,14 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
             # operands live; v5e has 128 MB VMEM, default scoped cap is 16
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
-      jnp.asarray(validx).astype(dt), jnp.asarray(valid1).astype(dt),
-      jnp.asarray(skv).astype(dt),
-      jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
-      *weight_args, skip_p, skip_p, x_p, x_p)
+    )
+    cdt = jnp.float32 if mxu_lerp else dt
+    out = out_call(
+        jnp.asarray(hw).astype(cdt), jnp.asarray(hsel).astype(cdt),
+        jnp.asarray(validx).astype(cdt), jnp.asarray(valid1).astype(dt),
+        jnp.asarray(skv).astype(dt),
+        jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
+        *weight_args, skip_p, skip_p, x_p, x_p)
     if want_y1:
         out, y1 = out
     if paired and not keep_paired:
