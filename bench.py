@@ -94,7 +94,7 @@ def main():
     # streaming protocol: enqueue the whole stream (JAX async dispatch
     # pipelines compute/D2H), then drain — one sync at the end, as a
     # production serving loop would run
-    iters = 20
+    iters = 50
     t0 = time.perf_counter()
     outs = [step(variables, pool[i % len(pool)]) for i in range(iters)]
     hists = [np.asarray(o) for o in outs]
