@@ -99,11 +99,15 @@ def main():
     # code); a 20-deep burst keeps the device the bottleneck, matching
     # local-PCIe behavior where dispatch costs microseconds
     iters = 20
-    t0 = time.perf_counter()
-    outs = [step(variables, pool[i % len(pool)]) for i in range(iters)]
-    hists = [np.asarray(o) for o in outs]
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+    rates = []
+    for _ in range(3):  # median of three windows — the relay adds ±5% noise
+        t0 = time.perf_counter()
+        outs = [step(variables, pool[i % len(pool)]) for i in range(iters)]
+        hists = [np.asarray(o) for o in outs]
+        dt = time.perf_counter() - t0
+        rates.append(batch * iters / dt)
+        time.sleep(0.5)
+    ips = sorted(rates)[1]
 
     n_chips = max(jax.device_count(), 1)
     per_chip = ips / n_chips
