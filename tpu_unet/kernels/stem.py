@@ -27,8 +27,6 @@ bounds) plus precomputed validity masks — no host-side pads.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
