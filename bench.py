@@ -116,6 +116,10 @@ def main():
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 4),
+        # burst protocol, not sustained: this harness's tunneled relay caps
+        # sustained dispatch at ~43 ms/call; see tools/bench_protocols.py
+        # for the honest host-roundtrip variants and their recorded numbers
+        "protocol": "burst20x3-median,device-resident-io",
     }))
 
 

@@ -83,3 +83,36 @@ def test_miou_eval_callback_model_based(tmp_path):
         cb.on_epoch_end(1)
     with pytest.raises(ValueError, match="predict_fn or model"):
         MIoUEvalCallback(dataset=ds, num_classes=4, log_dir=str(tmp_path))
+
+
+def test_miou_eval_callback_batched_matches_per_image(tmp_path):
+    """Batched model path (VERDICT r2 next #8): a 30-image set processes in
+    ≤2 batches and the accumulated hist (hence mIoU) is identical to a
+    per-image predict_fn evaluation of the same model."""
+    from tpu_unet.models.registry import build_model, init_model
+
+    ds = _FakeDataset(n=30, nc=4, hw=16)
+    model = build_model("ultralight", 4)
+    variables = init_model(model, (16, 16))
+
+    cb = MIoUEvalCallback(dataset=ds, num_classes=4,
+                          log_dir=str(tmp_path / "b"), period=1,
+                          model=model, batch_size=16)
+    miou_batched = cb.on_epoch_end(0, variables)
+    assert cb.batches_run == 2, cb.batches_run
+
+    import jax
+    import jax.numpy as jnp
+
+    def per_image_predict(img):
+        logits = model.apply(variables,
+                             jnp.asarray(img[None], jnp.float32) / 255.0,
+                             False)
+        return np.asarray(jnp.argmax(logits, -1))[0]
+
+    cb_ref = MIoUEvalCallback(per_image_predict, ds, 4,
+                              str(tmp_path / "p"), period=1)
+    miou_ref = cb_ref.on_epoch_end(0)
+    assert miou_batched == pytest.approx(miou_ref, abs=1e-12)
+    np.testing.assert_array_equal(np.asarray(cb.class_ious[0]),
+                                  np.asarray(cb_ref.class_ious[0]))

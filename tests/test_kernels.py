@@ -76,19 +76,6 @@ def test_fused_final_argmax_hist():
     assert np.asarray(h2).sum() == 200
 
 
-def test_pallas_upsample2x_exact():
-    from tpu_unet.kernels.upsample import (pallas_upsample2x,
-                                           pallas_upsample2x_v2)
-    from tpu_unet.nn.resize import upsample2x
-
-    for shape in [(2, 8, 8, 16), (1, 16, 12, 8), (1, 7, 9, 4)]:
-        x = np.random.RandomState(0).rand(*shape).astype("float32")
-        ref = np.asarray(upsample2x(jnp.asarray(x)))
-        for fn in (pallas_upsample2x, pallas_upsample2x_v2):
-            ours = np.asarray(fn(jnp.asarray(x), interpret=True))
-            np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
-
-
 def test_quantization_roundtrip():
     from tpu_unet.models.registry import build_model, init_model
     from tpu_unet.tools.quantization import (quantization_report,

@@ -26,6 +26,34 @@ from typing import Optional, Sequence
 _initialized = False
 
 
+def auto_detect_pod(environ=None) -> tuple[bool, str]:
+    """Decide whether this process is part of a multi-host TPU pod and
+    should call ``jax.distributed.initialize()`` with no arguments.
+
+    Returns ``(should_init, reason)``.  Pure env inspection — unit-testable
+    (tests/test_distributed.py covers the matrix).
+
+    A real multi-host TPU-VM launch leaves ``JAX_PLATFORMS`` unset, so the
+    pod signal is the TPU env itself: ``TPU_WORKER_HOSTNAMES`` is injected
+    on every multi-worker pod VM, ``MEGASCALE_COORDINATOR_ADDRESS`` on
+    multislice.  ``JAX_PLATFORMS`` set to a non-TPU backend (tests, CPU
+    debugging) explicitly opts out, as does ``TPU_SKIP_MDS_QUERY``.
+    """
+    env = os.environ if environ is None else environ
+    pod_signal = (env.get("TPU_WORKER_HOSTNAMES")
+                  or env.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if not pod_signal:
+        return False, "no multi-host TPU env (single-host run)"
+    platforms = env.get("JAX_PLATFORMS", "")
+    if platforms and not any(p.strip().startswith("tpu")
+                             for p in platforms.split(",")):
+        return False, (f"multi-host TPU env present but "
+                       f"JAX_PLATFORMS={platforms!r} excludes tpu")
+    if env.get("TPU_SKIP_MDS_QUERY") is not None:
+        return False, "TPU_SKIP_MDS_QUERY set — metadata query disabled"
+    return True, "multi-host TPU env detected (pod auto-detect)"
+
+
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None,
@@ -48,17 +76,19 @@ def initialize(coordinator_address: Optional[str] = None,
     if process_id is None and os.environ.get("TPU_UNET_PROCESS_ID"):
         process_id = int(os.environ["TPU_UNET_PROCESS_ID"])
 
-    # explicit coordinator → explicit cluster; TPU pods are auto-detected
-    # by jax.distributed.initialize itself (metadata server), which we only
-    # attempt when the platform is TPU to avoid hanging single-host runs.
+    # explicit coordinator → explicit cluster; otherwise TPU pods are
+    # auto-detected (the decision and its rationale are always printed so
+    # a multi-host launch can never *silently* run single-host).
     explicit = coordinator_address is not None
-    auto_tpu = (not explicit
-                and os.environ.get("JAX_PLATFORMS", "").startswith("tpu")
-                and os.environ.get("TPU_SKIP_MDS_QUERY") is None
-                and (os.environ.get("TPU_WORKER_HOSTNAMES")
-                     or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")))
-    if not explicit and not auto_tpu:
-        return False
+    if not explicit:
+        auto, reason = auto_detect_pod()
+        print(f"[tpu_unet.distributed] {reason}"
+              + ("" if auto else " — running single-process"), flush=True)
+        if not auto:
+            return False
+    else:
+        print(f"[tpu_unet.distributed] initializing with explicit "
+              f"coordinator {coordinator_address}", flush=True)
 
     import jax
 

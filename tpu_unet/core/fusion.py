@@ -1,9 +1,28 @@
-"""Runtime switch for the fused Pallas decoder stage.
+"""Runtime switches for the fused Pallas kernel paths.
 
-Default: on when running on a real TPU backend, off on CPU (tests compare
-against torch through the XLA composition; the Pallas kernel has its own
-exactness tests in interpret mode).  Override with
-``TPU_UNET_FUSED_DECODER=0/1`` or :func:`set_fused_decoder`.
+All kill switches live here (one documented module, programmatic override
+first, env var second, backend-derived default last):
+
+==========================  =======================  =========================
+switch                      env var                  default
+==========================  =======================  =========================
+:func:`use_fused_decoder`   ``TPU_UNET_FUSED_DECODER``  on for TPU backends
+:func:`use_fused_loss`      ``TPU_UNET_FUSED_LOSS``     on for TPU backends
+:func:`use_fused_train`     ``TPU_UNET_FUSED_TRAIN``    off (XLA autodiff wins)
+:func:`fuse_deep_stage`     ``TPU_UNET_FUSE_DEEP``      off (XLA wins, 0.89x)
+==========================  =======================  =========================
+
+Defaults encode v5e measurements: the fused inference decoder and loss win
+on TPU; the fused decoder in *training* loses to XLA autodiff (Pallas
+boundary relayouts in the backward graph), and the deepest decoder stage
+(tiny spatial, heavy channels) is faster through XLA's native conv
+pipeline.  On CPU/GPU every switch defaults off — the Pallas kernels are
+pltpu-flavored (they fail to lower on GPU and only run in slow interpret
+mode on CPU); tests exercise them explicitly with ``interpret=True``.
+
+Env vars are read at trace time: flip them (or call the setters) BEFORE
+the first jit of the affected function — changing them after compilation
+has no effect on cached executables.
 """
 from __future__ import annotations
 
@@ -11,19 +30,60 @@ import os
 
 import jax
 
-_OVERRIDE: bool | None = None
+_TRUTHY_OFF = ("0", "false", "off")
+
+_overrides: dict[str, bool | None] = {
+    "decoder": None,
+    "loss": None,
+    "train": None,
+    "deep": None,
+}
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _switch(name: str, env: str, default: bool) -> bool:
+    if _overrides[name] is not None:
+        return _overrides[name]
+    val = os.environ.get(env)
+    if val is not None:
+        return val.lower() not in _TRUTHY_OFF
+    return default
 
 
 def set_fused_decoder(on: bool | None) -> None:
-    """Force the fused decoder on/off (``None`` restores auto)."""
-    global _OVERRIDE
-    _OVERRIDE = on
+    """Force the fused inference decoder on/off (``None`` restores auto)."""
+    _overrides["decoder"] = on
+
+
+def set_fused_loss(on: bool | None) -> None:
+    """Force the fused CE+dice loss kernel on/off (``None`` restores auto)."""
+    _overrides["loss"] = on
+
+
+def set_fused_train(on: bool | None) -> None:
+    """Force the fused decoder in the TRAINING step on/off."""
+    _overrides["train"] = on
+
+
+def set_fuse_deep(on: bool | None) -> None:
+    """Force fusion of the deepest decoder stage on/off."""
+    _overrides["deep"] = on
 
 
 def use_fused_decoder() -> bool:
-    if _OVERRIDE is not None:
-        return _OVERRIDE
-    env = os.environ.get("TPU_UNET_FUSED_DECODER")
-    if env is not None:
-        return env.lower() not in ("0", "false", "off")
-    return jax.default_backend() in ("tpu", "axon")
+    return _switch("decoder", "TPU_UNET_FUSED_DECODER", _on_tpu())
+
+
+def use_fused_loss() -> bool:
+    return _switch("loss", "TPU_UNET_FUSED_LOSS", _on_tpu())
+
+
+def use_fused_train() -> bool:
+    return _switch("train", "TPU_UNET_FUSED_TRAIN", False) and _on_tpu()
+
+
+def fuse_deep_stage() -> bool:
+    return _switch("deep", "TPU_UNET_FUSE_DEEP", False)

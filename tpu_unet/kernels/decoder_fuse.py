@@ -14,8 +14,10 @@ Design (per grid step = one batch element × T output rows):
 
 - ×2 align-corners H-lerp of a DMA'd input row window, fully vectorised
   with the interleave + static-shift + select identity: for output row u,
-  i0(u) = u//2 - 1 when u is even and > 0, else u//2 (exact for all
-  0 <= u < 2H — proven in round 1, kernels/upsample.py).  The input is
+  i0(u) = u//2 - 1 when u is even and > 0, else u//2 — exact for all
+  0 <= u < 2H: align-corners ×2 maps u to source coordinate u·(H-1)/(2H-1),
+  whose floor is i0(u) as above; exactness vs jax.image.resize is pinned by
+  this file's interpret-mode tests (tests/test_decoder_fuse.py).  The input is
   zero-padded by 2 rows host-side so every window has static offset/size.
 - W-expansion as pure VPU lerps of rolled columns.
 - conv1/conv2 as ky-shifted MXU matmuls accumulating in f32.
@@ -371,9 +373,9 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # block: T//2 >= 4
     if T % 2 or T < 8 or H2 % T:
         return None  # shapes this kernel can't tile; caller falls back
-    import os
+    from tpu_unet.core import fusion
     if (not paired and H <= 32 and Cp >= 1024
-            and os.environ.get("TPU_UNET_FUSE_DEEP") != "1"):
+            and not fusion.fuse_deep_stage()):
         # deepest stage (tiny spatial, heavy channels): XLA's native conv
         # pipeline wins — measured 0.89x on v5e at (32², 1024→512)
         return None

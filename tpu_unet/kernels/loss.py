@@ -169,6 +169,13 @@ def ce_dice_loss_grad(logits, target, cls_weights, num_classes: int,
     from train/losses.py for same-resolution logits, without ever
     materializing softmax/one-hot tensors in HBM.
     """
+    # _flatten stores targets as int8 with c+1 as the padding sentinel;
+    # beyond int8 range the cast would silently wrap into wrong losses.
+    if num_classes + 1 > 127:
+        raise ValueError(
+            f"fused loss kernel supports num_classes <= 126 (int8 target "
+            f"encoding with sentinel num_classes+1); got {num_classes}. "
+            f"Use train/losses.py for more classes.")
     return _ce_dice(logits, target,
                     tuple(np.asarray(cls_weights, np.float32).tolist()),
                     num_classes, with_dice, interpret)

@@ -203,9 +203,10 @@ class UnetUp(nn.Module):
                 # 512px/bs8: XLA 57.2 img/s vs kernel+saved-residual VJP
                 # 48.7 vs kernel+remat VJP 45.5 — the Pallas boundary
                 # relayouts in the backward graph eat the kernel's forward
-                # win.  TPU_UNET_FUSED_TRAIN=1 opts into the kernel path.
-                import os
-                if os.environ.get("TPU_UNET_FUSED_TRAIN") == "1":
+                # win.  TPU_UNET_FUSED_TRAIN=1 opts into the kernel path
+                # (switch lives in core/fusion.py with the others).
+                from tpu_unet.core import fusion
+                if fusion.use_fused_train():
                     return fused_unetup_train(skip, x, k1, b1, k2, b2)
                 return reference_unetup(skip, x, k1, b1, k2, b2)
             return fused_unetup(skip, x, k1, b1, k2, b2)

@@ -91,7 +91,7 @@ class MIoUEvalCallback:
     def __init__(self, predict_fn=None, dataset=None, num_classes: int = 21,
                  log_dir: str = "logs", period: int = 1,
                  max_images: Optional[int] = None, model=None,
-                 name_classes: Optional[list] = None):
+                 name_classes: Optional[list] = None, batch_size: int = 16):
         if predict_fn is None and model is None:
             raise ValueError("need predict_fn or model")
         self.predict_fn = predict_fn          # (uint8 HWC image) → int mask
@@ -102,13 +102,21 @@ class MIoUEvalCallback:
         self.period = period
         self.max_images = max_images
         self.name_classes = name_classes
+        # model path runs batched (the eval dataset letterboxes every image
+        # to input_shape, so one fixed batch shape covers the whole set;
+        # the tail batch is padded by repetition). VOC-scale eval during
+        # training is ~batch_size× fewer dispatches than the reference's
+        # per-image loop (utils/callbacks.py:388-401).
+        self.batch_size = batch_size
+        self.batches_run = 0                  # diagnostics / tests
         self.mious = []
         self.epochs = []
         self.class_ious = []                  # per-eval per-class IoU rows
         self._jitted = None
         os.makedirs(log_dir, exist_ok=True)
 
-    def _model_predict(self, variables, img):
+    def _model_predict_batch(self, variables, imgs):
+        """uint8 (B,H,W,3) → int masks (B,H,W), one jitted dispatch."""
         if self._jitted is None:
             import jax
             import jax.numpy as jnp
@@ -121,7 +129,8 @@ class MIoUEvalCallback:
                 return jnp.argmax(logits, axis=-1)
 
             self._jitted = jax.jit(f)
-        return np.asarray(self._jitted(variables, img[None]))[0]
+        self.batches_run += 1
+        return np.asarray(self._jitted(variables, imgs))
 
     def on_epoch_end(self, epoch: int, variables=None) -> Optional[float]:
         if (epoch + 1) % self.period:
@@ -132,18 +141,30 @@ class MIoUEvalCallback:
         n = len(self.dataset)
         if self.max_images:
             n = min(n, self.max_images)
-        for i in range(n):
-            img, lbl = self.dataset.__getitem__(i)
-            if self.predict_fn is not None:
+        if self.predict_fn is not None:
+            for i in range(n):
+                img, lbl = self.dataset.__getitem__(i)
                 pred = self.predict_fn(img)
-            else:
-                if variables is None:
-                    raise ValueError(
-                        "model-based MIoUEvalCallback needs on_epoch_end("
-                        "epoch, variables)")
-                pred = self._model_predict(variables,
-                                           np.asarray(img, np.uint8))
-            hist += np.asarray(confusion_matrix(lbl, pred, self.num_classes))
+                hist += np.asarray(
+                    confusion_matrix(lbl, pred, self.num_classes))
+        else:
+            if variables is None:
+                raise ValueError("model-based MIoUEvalCallback needs "
+                                 "on_epoch_end(epoch, variables)")
+            bs = max(1, self.batch_size)
+            for start in range(0, n, bs):
+                idx = list(range(start, min(start + bs, n)))
+                samples = [self.dataset.__getitem__(i) for i in idx]
+                imgs = np.stack([np.asarray(s[0], np.uint8)
+                                 for s in samples])
+                if len(idx) < bs:  # pad tail to the compiled batch shape
+                    reps = bs - len(idx)
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[:1], reps, axis=0)])
+                preds = self._model_predict_batch(variables, imgs)
+                for (_, lbl), pred in zip(samples, preds):
+                    hist += np.asarray(
+                        confusion_matrix(lbl, pred, self.num_classes))
         ious = np.asarray(per_class_iou(hist), np.float64)
         miou = float(np.nanmean(ious))
         self.mious.append(miou)

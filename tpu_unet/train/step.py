@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from tpu_unet.core import fusion
 from tpu_unet.train.losses import ce_loss, dice_loss, f_score, focal_loss
 
 # top-level param keys that constitute the "backbone" for freeze phases
@@ -172,12 +173,15 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
                 else outputs
             loss, fs = ce_dice_loss_grad(
                 out, target, cfg.cls_weights, cfg.num_classes,
-                with_dice=cfg.use_dice,
-                interpret=jax.default_backend() == "cpu")
+                with_dice=cfg.use_dice)
             return loss, (mut["batch_stats"], fs)
 
-        use_fused = fused_loss_ok and _fused_shape_ok(
-            model, state, imgs, target, cfg, dropout_key)
+        # TPU-only (core/fusion.py): the kernel is pltpu-flavored — it
+        # fails to lower on GPU and interpret mode on CPU is orders of
+        # magnitude slower than the jnp path.
+        use_fused = (fused_loss_ok and fusion.use_fused_loss()
+                     and _fused_shape_ok(
+                         model, state, imgs, target, cfg, dropout_key))
         fn = fused_loss_fn if use_fused else loss_fn
         (loss, (new_stats, fs)), grads = jax.value_and_grad(
             fn, has_aux=True)(state.params)
