@@ -24,10 +24,11 @@ import numpy as np
 BASELINE_PER_CHIP = 5000.0 / 8.0
 
 
-def build_forward(batch: int, size: int = 512, num_classes: int = 21):
+def build_forward(batch: int, size: int = 512, num_classes: int = 21,
+                  model_name: str = "unet_vgg"):
     from tpu_unet.models.registry import build_model, init_model
 
-    model = build_model("unet_vgg", num_classes)
+    model = build_model(model_name, num_classes)
     variables = init_model(model, (size, size))
     # bf16 compute: cast params once; BN stats stay f32
     variables = {
@@ -37,6 +38,7 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21):
     }
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    paired = on_tpu and model_name == "unet_vgg"
 
     from tpu_unet.models.unet import Unet
 
@@ -51,7 +53,7 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21):
         # masks is a no-op on real PCIe but this harness runs through a
         # tunneled relay whose D2H crawls at ~9 MB/s — it would measure the
         # relay, not the framework.
-        if on_tpu:
+        if paired:
             # paired-layout serving head + fused Pallas tail: the last
             # decoder stage emits column-paired features and the tail does
             # final 1×1 conv + argmax + mask + histogram in one VMEM pass —
@@ -65,6 +67,8 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21):
                 variables["params"]["final"]["bias"], num_classes)
             del masks  # device-resident product; not shipped through relay
             return hist.astype(jnp.int32)
+        # other flagships (unet_resnet50): standard apply — the fused
+        # decoder stages still engage through UnetUp — then argmax+hist
         logits = model.apply(variables, x, False)
         masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         classes = jnp.arange(num_classes, dtype=jnp.uint8)
@@ -75,6 +79,7 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    model_name = sys.argv[2] if len(sys.argv) > 2 else "unet_vgg"
     size = 512
     rng = np.random.RandomState(0)
     # A pool of device-resident input batches, cycled through the timed
@@ -87,7 +92,7 @@ def main():
         for _ in range(4)
     ]
 
-    step, variables = build_forward(batch, size)
+    step, variables = build_forward(batch, size, model_name=model_name)
     hist = np.asarray(step(variables, pool[0]))  # compile + warmup
     assert hist.shape == (batch, 21) and hist.sum() == batch * size * size
 
@@ -112,7 +117,7 @@ def main():
     n_chips = max(jax.device_count(), 1)
     per_chip = ips / n_chips
     print(json.dumps({
-        "metric": "unet_vgg_512px_e2e_inference",
+        "metric": f"{model_name}_512px_e2e_inference",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 4),

@@ -17,8 +17,10 @@ Design (per grid step = one batch element × T output rows):
   i0(u) = u//2 - 1 when u is even and > 0, else u//2 — exact for all
   0 <= u < 2H: align-corners ×2 maps u to source coordinate u·(H-1)/(2H-1),
   whose floor is i0(u) as above; exactness vs jax.image.resize is pinned by
-  this file's interpret-mode tests (tests/test_decoder_fuse.py).  The input is
-  zero-padded by 2 rows host-side so every window has static offset/size.
+  this file's interpret-mode tests (tests/test_decoder_fuse.py).  The input
+  row window is read as three CLAMPED (T/2)-row blocks (prev/main/next) —
+  no host-side pad; boundary duplicates only land on positions whose lerp
+  weight is exactly 0.
 - W-expansion as pure VPU lerps of rolled columns.
 - conv1/conv2 as ky-shifted MXU matmuls accumulating in f32.
 - "paired" mode (used when F < 128): adjacent output columns are packed
@@ -117,7 +119,7 @@ def _h_upsample_rows(xs, hw_b, hsel_b, r0, H2, E):
     return lo + (hi - lo) * hw_b[:, None, :]
 
 
-def _h_upsample_mxu(xs2d, hwc, hselc, validc, E, win, dt):
+def _h_upsample_mxu(xs2d, hwc, hselc, validc, E, win, dt, acc_dt=jnp.float32):
     """H-axis ×2 lerp as ONE small MXU matmul: h = L @ xs.
 
     xs2d is the 2D row window (win, W*C); L (E, win) is built in-register
@@ -133,10 +135,11 @@ def _h_upsample_mxu(xs2d, hwc, hselc, validc, E, win, dt):
     lo_i = jnp.where(hselc != 0.0, (ein + 2) // 2, ein // 2)
     a = validc - hwc                       # valid*(1-w); 0 for OOB rows
     L = jnp.where(li == lo_i, a, 0.0) + jnp.where(li == lo_i + 1, hwc, 0.0)
-    return jax.lax.dot_general(
+    out = jax.lax.dot_general(
         L.astype(dt), xs2d,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)  # Mosaic: matmul acc is 32-bit
+    return out if acc_dt == jnp.float32 else out.astype(acc_dt)
 
 
 def _w_expand_pair_2d(h2, we2, wo2, C):
@@ -212,23 +215,25 @@ def _conv_rows(src, R, kd, ke, bd, dt):
 
 
 def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
-                   lead_off=0, mxu_lerp=False):
+                   lead_off=0, mxu_lerp=False, lerp_dt=jnp.float32):
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
                k1d, k1e, b1d, k2d, k2e, b2d,
-               sk_m, sk_h, x_m, x_h, out_ref, *y1_ref):
+               sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref):
         i = pl.program_id(1)
         r0 = i * T
 
         if mxu_lerp:
-            xs2d = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
+            xs2d = jnp.concatenate(
+                [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
             h2 = _h_upsample_mxu(xs2d, hw[pl.ds(r0, E)],
                                  hsel[pl.ds(r0, E)], valid[pl.ds(r0, E)],
-                                 E, win, dt)
+                                 E, win, dt, acc_dt=lerp_dt)
             even2, odd2 = _w_expand_pair_2d(h2, we[...], wo[...], Cx)
             even = even2.reshape(E, W, Cx).astype(dt)
             odd = odd2.reshape(E, W, Cx).astype(dt)
         else:
-            xs = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
+            xs = jnp.concatenate(
+                [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
             h = _h_upsample_rows(xs, hw[pl.ds(r0, E)],
                                  hsel[pl.ds(r0, E)], r0, H2, E)
             h = h * valid[pl.ds(r0, E)][:, None, :]
@@ -255,24 +260,25 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
 
 
 def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
-                     mxu_lerp=False):
+                     mxu_lerp=False, lerp_dt=jnp.float32, lead_off=0):
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
                k1, b1, k2, b2,
-               sk_m, sk_h, x_m, x_h, out_ref, *y1_ref):
-        del skv
+               sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref):
         i = pl.program_id(1)
         r0 = i * T
 
         if mxu_lerp:
-            xs2d = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
+            xs2d = jnp.concatenate(
+                [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
             h2 = _h_upsample_mxu(xs2d, hw[pl.ds(r0, E)],
                                  hsel[pl.ds(r0, E)], valid[pl.ds(r0, E)],
-                                 E, win, dt)
+                                 E, win, dt, acc_dt=lerp_dt)
             even2, odd2 = _w_expand_pair_2d(h2, we[...], wo[...], Cx)
             even = even2.reshape(E, W, Cx).astype(dt)
             odd = odd2.reshape(E, W, Cx).astype(dt)
         else:
-            xs = jnp.concatenate([x_m[0], x_h[0, :4]], axis=0)
+            xs = jnp.concatenate(
+                [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
             h = _h_upsample_rows(xs, hw[pl.ds(r0, E)],
                                  hsel[pl.ds(r0, E)], r0, H2, E)
             h = h * valid[pl.ds(r0, E)][:, None, :]
@@ -280,7 +286,14 @@ def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
         # interleave columns: ups[:, 2j] = even[:, j], ups[:, 2j+1] = odd[:, j]
         st = jnp.concatenate([even[:, :, None], odd[:, :, None]], axis=2)
         ups = st.reshape(E, 2 * even.shape[1], even.shape[2])
-        sk = jnp.concatenate([sk_m[0], sk_h[0, :4]], axis=0)
+        sk = jnp.concatenate([sk_m[0, lead_off:], sk_h[0, :4 + lead_off]],
+                             axis=0)
+        if lead_off:
+            # prepadded producer buffer (P8): boundary blocks are
+            # uninitialized — where-select (NaN-safe) restores the
+            # zero padding the conv expects
+            sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0, sk,
+                           jnp.zeros_like(sk))
         cc = jnp.concatenate([sk, ups], axis=-1)
 
         def conv3(src, R, k, bias):
@@ -346,9 +359,10 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
                            want_y1=False):
     _, H, W, Cx = x.shape
     H2, W2 = 2 * H, 2 * W
-    # a producer (the fused stem) may hand the skip over PRE-PADDED: 8
-    # lead + 8 tail rows, written one block down (kernels/stem.py)
-    skip_prepadded = skip_paired and skip.shape[1] == H2 + 16
+    # a producer (the fused stem / encoder blocks) may hand the skip over
+    # PRE-PADDED: 8 lead + 8 tail rows, written one block down
+    # (kernels/stem.py, kernels/encoder.py P8 convention)
+    skip_prepadded = skip.shape[1] == H2 + 16
     if skip_paired:
         B, _, Wh, Cs2 = skip.shape
         Cs = Cs2 // 2
@@ -356,7 +370,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     else:
         B = skip.shape[0]
         Cs = skip.shape[-1]
-        assert skip.shape[1] == H2 and skip.shape[2] == W2, (
+        assert skip.shape[1] in (H2, H2 + 16) and skip.shape[2] == W2, (
             skip.shape, x.shape)
     F = k1.shape[-1]
     Cp = Cs + Cx
@@ -395,6 +409,12 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # the paired stage measured faster with the VPU chain (its f32 2D
     # intermediates crowd the T=16 pipeline), the unpaired stage with MXU
     mxu_lerp = Cx % 128 == 0 and (T // 2) % 8 == 0 and not paired
+    # experiment switch: carry the MXU-lerp output + W-expansion in the
+    # compute dtype instead of f32 (halves the VMEM traffic of the lerp
+    # chain; only meaningful for bf16 runs — f32 runs are unchanged)
+    import os
+    lerp_dt = dt if os.environ.get("TPU_UNET_LERP_BF16") == "1" \
+        else jnp.float32
     if mxu_lerp:
         validx = valid
         we = np.repeat(we.ravel(), Cx).reshape(1, W * Cx)
@@ -408,19 +428,24 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
 
     # the pre-padded layout needs the 20-row window to fit main+halo
     # blocks at an 8-row lead: only T=16 satisfies 2T-8 >= T+2 + alignment
-    use_prepad = skip_prepadded and paired and T == 16
+    use_prepad = skip_prepadded and T == 16 and (paired == bool(skip_paired)
+                                                 or not paired)
     if skip_prepadded and not use_prepad:
         skip = jax.lax.slice_in_dim(skip, 8, 8 + H2, axis=1)
         skip_prepadded = False
     if skip_paired and not paired:
-        skip = skip.reshape(B, H2, W2, Cs)  # unpair for the unpaired kernel
+        rows = skip.shape[1]
+        skip = skip.reshape(B, rows, W2, Cs)  # unpair for the unpaired kernel
     # pad to exact block multiples so the (b, i+1) halo block exists for
     # the last row-tile: skip -> (nT+1)*T rows, x -> (nT+1)*(T//2) rows
     if use_prepad:
         skip_p = skip  # already (nT+1)*T rows with an 8-row lead
     else:
         skip_p = jnp.pad(skip, ((0, 0), (2, T - 2), (0, 0), (0, 0)))
-    x_p = jnp.pad(x, ((0, 0), (2, T // 2 - 2), (0, 0), (0, 0)))
+    # x needs no host pad: its row window [r0/2-2, r0/2+T/2+2) is read as
+    # three CLAMPED (T/2)-row blocks (prev, main, next) — boundary
+    # duplicates land only on positions whose lerp weight is exactly 0
+    x_p = x
 
     rs = np.arange(-2, H2 + 2)
     skv = np.repeat(((rs >= 0) & (rs < H2)).astype(np.float32
@@ -440,7 +465,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
         kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1,
                                 lead_off=6 if use_prepad else 0,
-                                mxu_lerp=mxu_lerp)
+                                mxu_lerp=mxu_lerp, lerp_dt=lerp_dt)
         out_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
         out_spec = pl.BlockSpec((1, T, W, 2 * F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -449,7 +474,9 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         weight_args = (k1.astype(dt), b1.astype(dt),
                        k2.astype(dt), b2.astype(dt))
         kernel = _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
-                                  want_y1, mxu_lerp=mxu_lerp)
+                                  want_y1, mxu_lerp=mxu_lerp,
+                                  lerp_dt=lerp_dt,
+                                  lead_off=6 if use_prepad else 0)
         out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
         out_spec = pl.BlockSpec((1, T, W2, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -457,19 +484,28 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
 
     # the overlapping row windows are expressed as main-block + next-block
     # halo inputs so Mosaic's grid pipeline double-buffers all DMAs
+    nbx = H // (T // 2) - 1  # last x block index
     if mxu_lerp:
         x_p = x_p.reshape(B, x_p.shape[1], W * Cx)
         x_specs = [
+            pl.BlockSpec((1, T // 2, W * Cx),
+                         lambda b, i: (b, jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T // 2, W * Cx), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T // 2, W * Cx), lambda b, i: (b, i + 1, 0),
+            pl.BlockSpec((1, T // 2, W * Cx),
+                         lambda b, i: (b, jnp.minimum(i + 1, nbx), 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
         x_specs = [
+            pl.BlockSpec((1, T // 2, W, Cx),
+                         lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i + 1, 0, 0),
+            pl.BlockSpec((1, T // 2, W, Cx),
+                         lambda b, i: (b, jnp.minimum(i + 1, nbx), 0, 0),
                          memory_space=pltpu.VMEM),
         ]
     data_specs = [
@@ -501,7 +537,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         jnp.asarray(validx).astype(cdt), jnp.asarray(valid1).astype(dt),
         jnp.asarray(skv).astype(dt),
         jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
-        *weight_args, skip_p, skip_p, x_p, x_p)
+        *weight_args, skip_p, skip_p, x_p, x_p, x_p)
     if want_y1:
         out, y1 = out
     if paired and not keep_paired:
@@ -516,8 +552,14 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
 
 
 def reference_unetup(skip, x, k1, b1, k2, b2):
-    """The XLA composition the kernel must match (and the VJP rule)."""
+    """The XLA composition the kernel must match (and the VJP rule).
+    Accepts a P8-prepadded skip (rows == 2H+16) and slices it, so every
+    fallback path works on producer-prepadded buffers."""
     from tpu_unet.nn.resize import upsample2x
+
+    H2 = 2 * x.shape[1]
+    if skip.shape[1] == H2 + 16:
+        skip = jax.lax.slice_in_dim(skip, 8, 8 + H2, axis=1)
 
     def conv(v, k):
         dn = jax.lax.conv_dimension_numbers(v.shape, k.shape,

@@ -104,9 +104,15 @@ def _make_stem_kernel(Wp, F, dt, lane_roll):
     return kernel
 
 
-def fused_vgg_stem_impl(x, k11, b11, k12, b12):
+def fused_vgg_stem_impl(x, k11, b11, k12, b12, prepad_pool: bool = False):
     """(B, H, W, 3) normalized image → (paired skip (B, H, W/2, 2F),
-    pooled (B, H/2, W/2, F)).  Returns None for untileable shapes."""
+    pooled (B, H/2, W/2, F)).  Returns None for untileable shapes.
+
+    With ``prepad_pool`` the pooled output is written block-down into an
+    (H/2 + 16)-row P8 buffer (rows [8, 8+H/2) valid, boundary blocks
+    uninitialized) — the layout the fused encoder blocks consume with
+    ``prepad_in`` (kernels/encoder.py), so the host pad copy between the
+    stem and block 2 never runs."""
     B, H, W, C = x.shape
     F = k11.shape[-1]
     dt = x.dtype
@@ -160,17 +166,27 @@ def fused_vgg_stem_impl(x, k11, b11, k12, b12):
     # buffer: exactly the lead/tail-padded layout the fused decoder's
     # stage-1 kernel tiles over (it zero-masks the two uninitialized
     # boundary blocks in-kernel), so the host-side pad copy never runs.
+    if prepad_pool:
+        pool_shape = jax.ShapeDtypeStruct((B, H // 2 + 16, Wp, F), dt)
+        # 4-row pool blocks: the 8-row lead is exactly two blocks
+        pool_spec = pl.BlockSpec((1, _T // 2, Wp, F),
+                                 lambda b, t: (b, t + 2, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        pool_shape = jax.ShapeDtypeStruct((B, H // 2, Wp, F), dt)
+        pool_spec = pl.BlockSpec((1, _T // 2, Wp, F),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
     skip_padded, pooled = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B, H + 2 * _T, Wp, 2 * F), dt),
-                   jax.ShapeDtypeStruct((B, H // 2, Wp, F), dt)),
+                   pool_shape),
         grid=grid,
         in_specs=coef_specs + data_specs,
         out_specs=(
             pl.BlockSpec((1, _T, Wp, 2 * F), lambda b, t: (b, t + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _T // 2, Wp, F), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pool_spec,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),

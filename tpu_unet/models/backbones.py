@@ -35,10 +35,13 @@ class VGG16(nn.Module):
 
     With ``fused_stem`` the first stage + its pool run as one Pallas pass
     (kernels/stem.py) and feat1 is returned in the column-PAIRED layout
-    (B, H, W/2, 128) for the fused decoder; the parameter tree is
-    unchanged.
+    (B, H, W/2, 128) for the fused decoder; with ``fused_blocks`` stages
+    2-5 each run as one Pallas pass too (kernels/encoder.py: conv chain +
+    trailing 2×2 pool in VMEM).  The parameter tree is unchanged either
+    way.
     """
     fused_stem: bool = False
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -46,25 +49,78 @@ class VGG16(nn.Module):
         widths = dict(_VGG_CONVS)
         feats = []
         start = 0
-        if self.fused_stem and not self.is_initializing():
+        fuse = False
+        if (self.fused_stem or self.fused_blocks) \
+                and not self.is_initializing():
             from tpu_unet.core.fusion import use_fused_decoder
+            fuse = use_fused_decoder()
+        x_p8 = False  # x currently carries the P8 (8-lead) row padding
+        if self.fused_stem and not self.is_initializing():
             from tpu_unet.kernels.stem import fused_vgg_stem_impl
             from tpu_unet.nn.blocks import _ConvParams
             k11, b11 = _ConvParams(64, 3, name="features_0")()
             k12, b12 = _ConvParams(64, 64, name="features_2")()
-            res = (fused_vgg_stem_impl(x, k11, b11, k12, b12)
-                   if use_fused_decoder() else None)
+            res = (fused_vgg_stem_impl(x, k11, b11, k12, b12,
+                                       prepad_pool=self.fused_blocks)
+                   if fuse else None)
             if res is None:
                 from tpu_unet.kernels.stem import reference_vgg_stem
                 res = reference_vgg_stem(x, k11, b11, k12, b12)
+            else:
+                x_p8 = self.fused_blocks
             feat1_paired, x = res
             feats.append(feat1_paired)
             start = 1
+        pooled_in_kernel = True  # stem (or stage-1 handling) pools below
+        n_stages = len(_VGG_STAGES)
         for si, stage in enumerate(_VGG_STAGES):
             if si < start:
                 continue
-            if si > start:  # the fused stem already pooled stage-1's output
+            if si > start and not pooled_in_kernel:
                 x = max_pool2(x)
+            pooled_in_kernel = False
+            if self.fused_blocks and si >= 1 and not self.is_initializing():
+                from tpu_unet.kernels.encoder import (fused_vgg_block_impl,
+                                                      reference_vgg_block)
+                from tpu_unet.nn.blocks import _ConvParams
+                cin = x.shape[-1]
+                ks, bs = [], []
+                for ci in stage:
+                    k, b = _ConvParams(widths[ci], cin,
+                                       name=f"features_{ci}")()
+                    ks.append(k)
+                    bs.append(b)
+                    cin = widths[ci]
+                want_pool = si < n_stages - 1
+                # P8 chain: skips for the fused decoder stages up2/up3
+                # (feat2, feat3) and the pooled hand-off to the next
+                # block travel pre-padded — no host pad copies between
+                # kernels (the decoder slices/masks as needed)
+                res = (fused_vgg_block_impl(
+                    x, ks, bs, pool=want_pool, prepad_in=x_p8,
+                    prepad_skip=si in (1, 2), prepad_pool=want_pool)
+                    if fuse else None)
+                if res is None:
+                    if x_p8:  # drop the row padding for the XLA path
+                        import jax.lax as lax
+                        x = lax.slice_in_dim(x, 8, x.shape[1] - 8, axis=1)
+                        x_p8 = False
+                    res = reference_vgg_block(x, ks, bs, pool=want_pool)
+                    skip, nxt = res
+                else:
+                    skip, nxt = res
+                    x_p8 = want_pool  # pooled output is P8 again
+                feats.append(skip)
+                if nxt is not None:
+                    x = nxt
+                    pooled_in_kernel = True
+                else:
+                    x = skip
+                continue
+            if x_p8:
+                import jax.lax as lax
+                x = lax.slice_in_dim(x, 8, x.shape[1] - 8, axis=1)
+                x_p8 = False
             for ci in stage:
                 x = nn.relu(conv(widths[ci], 3, name=f"features_{ci}")(x))
             feats.append(x)

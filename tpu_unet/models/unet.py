@@ -35,7 +35,10 @@ class Unet(nn.Module):
         paired_path = (self.paired_head and self.backbone == "vgg"
                        and not self.force_up_conv)
         if self.backbone == "vgg":
-            feats = VGG16(name="vgg", fused_stem=paired_path)(x, train)
+            # fused encoder blocks are inference-only (no VJP on the
+            # encoder kernel); the serving path is the paired head
+            feats = VGG16(name="vgg", fused_stem=paired_path,
+                          fused_blocks=paired_path)(x, train)
         elif self.backbone == "resnet50":
             feats = ResNet50(name="resnet")(x, train)
         else:
