@@ -191,10 +191,12 @@ def _mm(a, k):
     return out.reshape(r, w, k.shape[1])
 
 
-def _conv_rows(src, R, kd, ke, bd, dt):
+def _conv_rows(src, R, kd, ke, bd, dt, relu=True):
     """One paired 3x3 conv: dense per-ky matmuls plus ONE combined
     cross-pair edge matmul.  src is (R+2, W, C) in paired channel
-    order; output (R, W, 2F) = relu(conv + bias).
+    order; output (R, W, 2F) = relu(conv + bias) (or just conv + bias
+    with ``relu=False`` — the backward kernels run the same conv
+    structure with flipped/transposed weights and no activation).
 
     The two edge terms (odd[j-1]->even-out and even[j+1]->odd-out) share
     a single (2C, 2F) matmul so the MXU always sees 2F >= 128 output
@@ -211,7 +213,8 @@ def _conv_rows(src, R, kd, ke, bd, dt):
                     _shift_cols_zero(res, -1), _shift_cols_zero(res, 1))
     for ky in (0, 1, 2):
         acc += _mm(src[ky:ky + R], kd[ky])
-    return jax.nn.relu(acc.astype(dt) + bd[...][None, :])
+    out = acc.astype(dt) + bd[...][None, :]
+    return jax.nn.relu(out) if relu else out
 
 
 def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
@@ -659,14 +662,43 @@ def _train_fwd(skip, x, k1, b1, k2, b2):
     return out, (skip, x, k1, b1, k2, b2, y1, out)
 
 
+def _conv_wgrad(v, g, k_like):
+    """dk for a SAME 3×3 conv with input v and output-grad g (XLA path:
+    conv weight gradients measured ~71% MXU — not worth a kernel)."""
+    _, vjp = jax.vjp(lambda k: _conv_same(v, k, jnp.zeros(
+        (k_like.shape[-1],), v.dtype)), k_like)
+    dk, = vjp(g.astype(v.dtype))
+    return dk
+
+
 def _train_bwd(res, g):
     skip, x, k1, b1, k2, b2, y1, out = res
     if y1 is None:
         _, vjp = jax.vjp(reference_unetup, skip, x, k1, b1, k2, b2)
         return vjp(g)
+    from tpu_unet.kernels.decoder_train import fused_unetup_bwd_impl
     from tpu_unet.nn.resize import upsample2x
 
     cs = skip.shape[-1]
+    bwd = fused_unetup_bwd_impl(g.astype(y1.dtype), out, y1, k1, k2, cs)
+    if bwd is not None:
+        # Pallas activation-gradient chain (relu masks + both dgrads in
+        # one pass, paired layout); wgrads/bias-grads stay XLA, with the
+        # k1 wgrad split into skip/upsample parts so the padded concat
+        # buffer (measured 5.4 ms/step at 512px) is never materialized.
+        dskip, dups, g2, dz1 = bwd
+        db2 = jnp.sum(g2.astype(jnp.float32), axis=(0, 1, 2))
+        dk2 = _conv_wgrad(y1, g2, k2)
+        db1 = jnp.sum(dz1.astype(jnp.float32), axis=(0, 1, 2))
+        dk1_sk = _conv_wgrad(skip, dz1, k1[:, :, :cs])
+        up, vjpu = jax.vjp(upsample2x, x)
+        dk1_up = _conv_wgrad(up.astype(skip.dtype), dz1, k1[:, :, cs:])
+        dk1 = jnp.concatenate([dk1_sk, dk1_up], axis=2)
+        dx, = vjpu(dups.astype(up.dtype))
+        return (dskip, dx.astype(x.dtype), dk1.astype(k1.dtype),
+                db1.astype(b1.dtype), dk2.astype(k2.dtype),
+                db2.astype(b2.dtype))
+
     g2 = jnp.where(out > 0, g, 0).astype(y1.dtype)
     _, vjp2 = jax.vjp(_conv_same, y1, k2, b2)
     dy1, dk2, db2 = vjp2(g2)
