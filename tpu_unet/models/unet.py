@@ -29,6 +29,12 @@ class Unet(nn.Module):
     # applies final+argmax without the unpair relayout.  Parameter tree is
     # unchanged (a full init's params apply cleanly).
     paired_head: bool = False
+    # Training-serving head: return the pre-final feature map and skip the
+    # final 1×1 conv — the fused final-conv+loss kernel
+    # (kernels/loss.py::final_ce_dice_loss_grad) applies the classifier
+    # inside the loss passes, so the logit map never touches HBM.
+    # Parameter tree is unchanged (apply with a full init's params).
+    features_out: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -61,6 +67,8 @@ class Unet(nn.Module):
             up1 = nn.relu(conv(_OUT_FILTERS[0], 3, name="up_conv_1")(up1))
             up1 = nn.relu(conv(_OUT_FILTERS[0], 3, name="up_conv_3")(up1))
 
+        if self.features_out and not self.is_initializing():
+            return up1
         return conv(self.num_classes, 1, name="final")(up1)
 
 

@@ -149,6 +149,16 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
     # f32 one-hot megatensor, autodiff backward) costs ~16 ms/step.
     fused_loss_ok = not cfg.use_focal and not cfg.aux_weights
 
+    # Canonical UNets additionally fuse the final 1×1 conv INTO the loss
+    # kernels (kernels/loss.py::final_ce_dice_loss_grad): the model emits
+    # the 64-ch feature map and the logit tensor never exists in HBM.
+    # Profiled at 512px/bs8: the XLA final-conv + loss region (conv fwd/
+    # dgrad/wgrad + logits/dlogits/label relayouts + loss custom-calls)
+    # costs ~17 ms/step.
+    from tpu_unet.models.unet import Unet as _CanonicalUnet
+    feat_model = (model.clone(features_out=True)
+                  if isinstance(model, _CanonicalUnet) else None)
+
     def train_step(state: TrainState, batch, lr, dropout_key):
         imgs, target, onehot = _prepare_batch(batch, cfg.num_classes,
                                               cfg.compute_dtype)
@@ -176,13 +186,30 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
                 with_dice=cfg.use_dice)
             return loss, (mut["batch_stats"], fs)
 
+        def fused_final_loss_fn(params):
+            from tpu_unet.kernels.loss import final_ce_dice_loss_grad
+
+            cast = _cast_params(params, cfg.compute_dtype)
+            feats, mut = feat_model.apply(
+                {"params": cast, "batch_stats": state.batch_stats},
+                imgs, True, rngs={"dropout": dropout_key},
+                mutable=["batch_stats"])
+            loss, fs = final_ce_dice_loss_grad(
+                feats, cast["final"]["kernel"], cast["final"]["bias"],
+                target, cfg.cls_weights, cfg.num_classes,
+                with_dice=cfg.use_dice)
+            return loss, (mut["batch_stats"], fs)
+
         # TPU-only (core/fusion.py): the kernel is pltpu-flavored — it
         # fails to lower on GPU and interpret mode on CPU is orders of
         # magnitude slower than the jnp path.
         use_fused = (fused_loss_ok and fusion.use_fused_loss()
                      and _fused_shape_ok(
                          model, state, imgs, target, cfg, dropout_key))
-        fn = fused_loss_fn if use_fused else loss_fn
+        fn = loss_fn
+        if use_fused:
+            fn = (fused_final_loss_fn if feat_model is not None
+                  else fused_loss_fn)
         (loss, (new_stats, fs)), grads = jax.value_and_grad(
             fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_stats, lr)
