@@ -43,6 +43,44 @@ def test_train_vjp_matches_autodiff(shape):
             err_msg=f"grad argnum {i}")
 
 
+@pytest.mark.parametrize("shape", [
+    (1, 8, 8, 8, 16, 8),
+    (2, 8, 16, 4, 8, 16),
+])
+def test_train_paired_vjp_matches_autodiff(shape):
+    """v2: the fully-paired train stage (paired output + in-kernel wgrads)
+    must match autodiff of the natural composition exactly."""
+    from tpu_unet.kernels.decoder_fuse import fused_unetup_train_paired
+
+    args = _case(*shape)
+
+    def loss_ref(*a):
+        return jnp.sum(reference_unetup(*a) ** 2)
+
+    def loss_fus(*a):
+        out_p = fused_unetup_train_paired(*a)
+        return jnp.sum(out_p ** 2)  # paired reshape is sum-invariant
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    g_fus = jax.grad(loss_fus, argnums=tuple(range(6)))(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_fus)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad argnum {i}")
+
+
+def test_train_paired_forward_matches_reference():
+    from tpu_unet.kernels.decoder_fuse import fused_unetup_train_paired
+
+    args = _case(1, 8, 8, 8, 16, 8)
+    out_ref = reference_unetup(*args)
+    out_p = fused_unetup_train_paired(*args)
+    n, h, w, f = out_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out_p).reshape(n, h, w, f), np.asarray(out_ref),
+        rtol=2e-4, atol=2e-4)
+
+
 def test_bwd_impl_engages():
     """The paired bwd kernel must actually run for up1-like shapes (not
     silently fall back to the XLA VJP)."""

@@ -714,3 +714,74 @@ def _train_bwd(res, g):
 
 
 fused_unetup_train.defvjp(_train_fwd, _train_bwd)
+
+
+@jax.custom_vjp
+def fused_unetup_train_paired(skip, x, k1, b1, k2, b2):
+    """Training decoder stage with COLUMN-PAIRED output (B, 2H, W, 2F).
+
+    The whole training region speaks paired: this forward emits paired
+    features (consumed relayout-free by the fused final-conv+loss kernel,
+    kernels/loss.py), the VJP receives the paired cotangent straight from
+    that kernel, and the backward (kernels/decoder_train.py v2) runs the
+    activation-gradient chain AND both conv weight gradients in one Pallas
+    pass in paired space — no paired↔natural boundary inside the region.
+    Gradients are exact vs the XLA composition (tests/test_decoder_train).
+    """
+    if not _train_kernel_ok(skip, k1):
+        return _paired_view(reference_unetup(skip, x, k1, b1, k2, b2))
+    out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, keep_paired=True)
+    if out is None:
+        return _paired_view(reference_unetup(skip, x, k1, b1, k2, b2))
+    return out
+
+
+def _paired_view(out_nat):
+    B, H2, W2, F = out_nat.shape
+    return out_nat.reshape(B, H2, W2 // 2, 2 * F)
+
+
+def _ptrain_fwd(skip, x, k1, b1, k2, b2):
+    res = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2,
+                                  keep_paired=True, want_y1=True)
+           if _train_kernel_ok(skip, k1) else None)
+    if res is None:
+        out = _paired_view(reference_unetup(skip, x, k1, b1, k2, b2))
+        return out, (skip, x, k1, b1, k2, b2, None, None)
+    out, y1 = res
+    return out, (skip, x, k1, b1, k2, b2, y1, out)
+
+
+def _ptrain_bwd(res, g):
+    skip, x, k1, b1, k2, b2, y1, out = res
+    if y1 is None:
+        _, vjp = jax.vjp(
+            lambda *a: _paired_view(reference_unetup(*a)),
+            skip, x, k1, b1, k2, b2)
+        return vjp(g)
+    from tpu_unet.kernels.decoder_train import fused_unetup_bwd_paired_impl
+    from tpu_unet.nn.resize import upsample2x
+
+    cs = skip.shape[-1]
+    skip_p = skip.reshape(skip.shape[0], skip.shape[1],
+                          skip.shape[2] // 2, 2 * cs)
+    bwd = fused_unetup_bwd_paired_impl(g.astype(y1.dtype), out, y1,
+                                       skip_p, x, k1, k2, cs)
+    if bwd is None:
+        # tiling fallback: unpair and reuse the v1 backward composition
+        gn = g.reshape(g.shape[0], g.shape[1], -1, g.shape[-1] // 2)
+        outn = out.reshape(gn.shape)
+        y1n = y1.reshape(gn.shape)
+        return _train_bwd((skip, x, k1, b1, k2, b2, y1n, outn), gn)
+    dsk_p, dup_p, dk1, db1, dk2, db2 = bwd
+    B, H2, W, _ = dup_p.shape
+    dskip = dsk_p.reshape(skip.shape)
+    dups = dup_p.reshape(B, H2, 2 * W, dup_p.shape[-1] // 2)
+    up, vjpu = jax.vjp(upsample2x, x)
+    dx, = vjpu(dups.astype(up.dtype))
+    return (dskip, dx.astype(x.dtype), dk1.astype(k1.dtype),
+            db1.astype(b1.dtype), dk2.astype(k2.dtype),
+            db2.astype(b2.dtype))
+
+
+fused_unetup_train_paired.defvjp(_ptrain_fwd, _ptrain_bwd)

@@ -43,7 +43,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_unet.kernels.decoder_fuse import _conv_rows, _pair_weights
+from tpu_unet.kernels.decoder_fuse import (_col_arrays, _conv_rows,
+                                           _h_upsample_rows, _pair_weights,
+                                           _row_arrays, _shift_cols_zero,
+                                           _w_expand_pair)
 
 
 def _flip_t(k):
@@ -146,3 +149,280 @@ def fused_unetup_bwd_impl(g, out, y1, k1, k2, Cs, block_rows=None):
       g_p, g_p, o_p, o_p, y_p, y_p)
     return (dsk.reshape(B, H2, W2, Cs), dup.reshape(B, H2, W2, Cx),
             g2.reshape(B, H2, W2, F), dz1.reshape(B, H2, W2, F))
+
+
+# ---------------------------------------------------------------------------
+# v2: the fully-paired backward — dgrads AND wgrads in one kernel pass.
+#
+# v1 (above) lost to XLA end-to-end (56.6 vs 63.2 img/s at 512px/bs8)
+# because every paired↔natural boundary cost a relayout copy (~10 ms/step
+# profiled) and the split XLA wgrads re-read reshaped buffers.  Here the
+# entire up1 training region speaks paired:
+#
+#   loss kernel (paired dfeat) → THIS kernel → paired weight-grads
+#
+# Per row-tile the kernel:
+#   g2  = g ⊙ [out > 0]                      (relu VJP)
+#   dz1 = conv(g2, flipT(k2)) ⊙ [y1 > 0]     (dgrad, paired conv)
+#   dskip/dups = conv(dz1, flipT(k1) split)  (dgrads, paired)
+#   cc  = [skip | upsample(x)] recomputed    (the forward's lerp chain —
+#                                             cheaper than an 800 MB
+#                                             HBM roundtrip for the concat)
+#   dkd1/dke1 += ccᵀ @ dz1-window            (conv1 wgrad, paired space)
+#   dkd2/dke2 += y1ᵀ @ g2-window             (conv2 wgrad, paired space)
+#   db1/db2   += row sums
+#
+# The paired-space weight grads (dkd, dke) map back to the natural (3, 3,
+# Ci, Co) tensor through the exact adjoint of `_pair_weights` — obtained
+# mechanically with jax.linear_transpose (it is a linear layout map).
+# Residuals out/y1 are saved PAIRED by the forward; g arrives PAIRED from
+# the fused final-conv+loss kernel; dskip/dups leave paired and are
+# unpaired by one XLA reshape each (Mosaic restricts offset-64 lane
+# slices, so the in-kernel interleave is not available at Cs = 64).
+# ---------------------------------------------------------------------------
+
+
+def _mmT(a, b):
+    """(R, W, C) ⊗ (R, W, F) → (C, F), contracting all pixels (f32 acc)."""
+    r, w, c = a.shape
+    return jax.lax.dot_general(
+        a.reshape(r * w, c), b.reshape(r * w, b.shape[-1]),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _edge_cotangent(dout):
+    """Edge-matmul weight cotangent.  In `_conv_rows` the edge result res
+    feeds acc_even[:, j+1] and acc_odd[:, j-1] (shift −1 / +1 of res), so
+    the res cotangent at column m is dout_even[:, m+1] + dout_odd[:, m−1]
+    — the opposite shifts applied to the output gradient."""
+    F2 = dout.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dout.shape, 2)
+    return jnp.where(lane < F2 // 2,
+                     _shift_cols_zero(dout, 1), _shift_cols_zero(dout, -1))
+
+
+def _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt):
+    Cp = Cs + Cx
+
+    def kernel(hw, hsel, validx, skv, rv, we, wo,
+               k2d, k2e, zf, k1sd, k1se, zs, k1ud, k1ue, zu,
+               sk_p, sk_m, sk_n, x_l, x_m, x_h,
+               g_p, g_m, g_n, o_p, o_m, o_n, y_p, y_m, y_n,
+               dsk_ref, dup_ref, dkd1_ref, dke1_ref, dkd2_ref, dke2_ref,
+               db_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = i * T
+
+        @pl.when((b == 0) & (i == 0))
+        def _():
+            dkd1_ref[...] = jnp.zeros_like(dkd1_ref)
+            dke1_ref[...] = jnp.zeros_like(dke1_ref)
+            dkd2_ref[...] = jnp.zeros_like(dkd2_ref)
+            dke2_ref[...] = jnp.zeros_like(dke2_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        def win3(p, m, n):
+            # rows r0-2 .. r0+T+2 from three row-clamped blocks; boundary
+            # duplicates carry wrong rows and are handled by masks below
+            return jnp.concatenate([p[0], m[0], n[0]],
+                                   axis=0)[T - 2:2 * T + 2]
+
+        rvw = rv[pl.ds(r0, T + 4)][:, None, :]
+        gw = win3(g_p, g_m, g_n) * rvw            # OOB rows → exact zero
+        ow = win3(o_p, o_m, o_n)
+        # yw feeds the conv2 wgrad windows directly: its OOB halo rows
+        # (clamped duplicates) must be the zeros SAME-padding implies.
+        yw = win3(y_p, y_m, y_n) * rvw
+        # compares in f32 — v5e Mosaic has no packed-bf16 compare
+        g2 = jnp.where(ow.astype(jnp.float32) > 0.0, gw,
+                       jnp.zeros_like(gw))        # (T+4, W, 2F)
+        dz1 = _conv_rows(g2, T + 2, k2d, k2e, zf, dt, relu=False)
+        dz1 = jnp.where(yw[1:T + 3].astype(jnp.float32) > 0.0, dz1,
+                        jnp.zeros_like(dz1))      # rows r0-1 .. r0+T+1
+        # conv1 has no outputs outside the image — its gradient must be
+        # exactly zero there (the clamped y1 halo rows are duplicates, not
+        # the zero padding that enforced this in the padded-buffer path)
+        dz1 = dz1 * rv[pl.ds(r0 + 1, T + 2)][:, None, :]
+
+        dsk_ref[0] = _conv_rows(dz1, T, k1sd, k1se, zs, dt, relu=False)
+        dup_ref[0] = _conv_rows(dz1, T, k1ud, k1ue, zu, dt, relu=False)
+
+        # ---- conv2 wgrad: src = y1 window, dout = g2 rows r0..r0+T ----
+        g2c = g2[2:T + 2]
+        sh2 = _edge_cotangent(g2c)
+        dkd2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T], g2c) for ky in (0, 1, 2)])
+        dke2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T], sh2) for ky in (0, 1, 2)])
+
+        # ---- recompute cc = [skip | up-even | up-odd] (forward's chain) --
+        sk = jnp.concatenate([sk_p[0], sk_m[0], sk_n[0]],
+                             axis=0)[T - 2:2 * T + 2]
+        sk = sk * skv[pl.ds(r0, T + 4)][:, None, :]
+        xs = jnp.concatenate(
+            [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        h = _h_upsample_rows(xs, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
+                             r0, H2, E)
+        h = h * validx[pl.ds(r0, E)][:, None, :]
+        even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
+        cc = jnp.concatenate([sk, even.astype(dt), odd.astype(dt)],
+                             axis=-1)             # (T+4, W, 2Cp)
+
+        # ---- conv1 wgrad: src = cc, dout = dz1 rows r0..r0+T ----
+        dz1c = dz1[1:T + 1]
+        sh1 = _edge_cotangent(dz1c)
+        dkd1_ref[...] += jnp.stack(
+            [_mmT(cc[1 + ky:1 + ky + T], dz1c) for ky in (0, 1, 2)])
+        dke1_ref[...] += jnp.stack(
+            [_mmT(cc[1 + ky:1 + ky + T], sh1) for ky in (0, 1, 2)])
+
+        dbs = jnp.concatenate([
+            jnp.sum(dz1c.astype(jnp.float32), axis=(0, 1), keepdims=False
+                    ).reshape(1, 2 * F),
+            jnp.sum(g2c.astype(jnp.float32), axis=(0, 1), keepdims=False
+                    ).reshape(1, 2 * F)], axis=0)
+        db_ref[...] += jnp.pad(dbs, ((0, db_ref.shape[0] - 2), (0, 0)))
+
+    return kernel
+
+
+def _unpair_wgrad(dkd, dke, k_shape, Cs, F):
+    """Exact adjoint of `_pair_weights`: paired-space weight cotangents
+    (3, 2C, 2F) → natural (3, 3, C, F)."""
+    fn = jax.linear_transpose(
+        lambda k: _pair_weights(k, Cs, F),
+        jax.ShapeDtypeStruct(k_shape, dkd.dtype))
+    (dk,) = fn((dkd, dke))
+    return dk
+
+
+def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
+                                 block_rows=None):
+    """Paired backward for one decoder stage: activation-gradient chain +
+    in-kernel weight gradients.
+
+    ``g``/``out``/``y1`` arrive PAIRED (B, H2, W, 2F); ``skip`` paired
+    (B, H2, W, 2Cs); ``x`` natural (B, H, W, Cx).  Returns
+    (dskip_paired, dups_paired, dk1, db1, dk2, db2) — the weight grads in
+    natural layout and f32 — or None when the stage isn't tileable.
+    """
+    B, H2, Wp, F2 = g.shape
+    F = F2 // 2
+    Cp = k1.shape[2]
+    Cx = Cp - Cs
+    _, H, W, _ = x.shape
+    dt = g.dtype
+    paired = F < 128 and F % 8 == 0 and Cs % 2 == 0 and Cx % 2 == 0
+    if not paired or Wp != W:
+        return None
+    T = block_rows or (16 if H2 % 16 == 0 else 8)
+    if H2 % T or T < 8 or H % (T // 2):
+        return None
+    E = T + 4
+    win = T // 2 + 4
+
+    interpret = jax.default_backend() == "cpu"
+
+    hw, hsel, valid = _row_arrays(H)
+    we, wo = _col_arrays(W)
+    hw = np.repeat(hw, Cx, axis=1)
+    hsel = np.repeat(hsel, Cx, axis=1)
+    validx = np.repeat(valid, Cx, axis=1)
+    we = np.repeat(we, Cx, axis=1)
+    wo = np.repeat(wo, Cx, axis=1)
+    rs = np.arange(-2, H2 + 2)
+    inimg = ((rs >= 0) & (rs < H2)).astype(np.float32).reshape(-1, 1)
+    skv = np.repeat(inimg, 2 * Cs, axis=1)
+    rv = np.repeat(inimg, 2 * F, axis=1)
+
+    k2f_d, k2f_e = _pair_weights(_flip_t(k2).astype(dt), F, F)
+    k1f = _flip_t(k1).astype(dt)                     # (3, 3, F, Cp)
+    k1s_d, k1s_e = _pair_weights(k1f[..., :Cs], F, Cs)
+    k1u_d, k1u_e = _pair_weights(k1f[..., Cs:], F, Cx)
+    zf = jnp.zeros((2 * F,), dt)
+    zs = jnp.zeros((2 * Cs,), dt)
+    zu = jnp.zeros((2 * Cx,), dt)
+
+    nb = H2 // T - 1
+    nbx = H // (T // 2) - 1
+    grid = (B, H2 // T)
+
+    def blk3(c):
+        return [
+            pl.BlockSpec((1, T, W, c),
+                         lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, W, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, W, c),
+                         lambda b, i: (b, jnp.minimum(i + 1, nb), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    x_specs = [
+        pl.BlockSpec((1, T // 2, W, Cx),
+                     lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T // 2, W, Cx),
+                     lambda b, i: (b, jnp.minimum(i + 1, nbx), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda b, i: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, H2, W, 2 * Cs), dt),
+        jax.ShapeDtypeStruct((B, H2, W, 2 * Cx), dt),
+        jax.ShapeDtypeStruct((3, 2 * Cp, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, 2 * Cp, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, 2 * F, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, 2 * F, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((8, 2 * F), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, T, W, 2 * Cs), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, W, 2 * Cx), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((3, 2 * Cp, 2 * F)),
+        const((3, 2 * Cp, 2 * F)),
+        const((3, 2 * F, 2 * F)),
+        const((3, 2 * F, 2 * F)),
+        const((8, 2 * F)),
+    )
+
+    kernel = _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt)
+    coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=coef_specs
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+        + blk3(2 * Cs) + x_specs + blk3(2 * F) * 3,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
+      jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),
+      jnp.asarray(rv).astype(dt),
+      jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
+      k2f_d, k2f_e, zf, k1s_d, k1s_e, zs, k1u_d, k1u_e, zu,
+      skip, skip, skip, x, x, x, g, g, g, out, out, out, y1, y1, y1)
+    dsk, dup, dkd1, dke1, dkd2, dke2, dbs = res
+
+    # paired-space → natural weight grads (exact adjoint of _pair_weights)
+    dk1 = _unpair_wgrad(dkd1, dke1, (3, 3, Cp, F), Cs, F)
+    dk2 = _unpair_wgrad(dkd2, dke2, (3, 3, F, F), F, F)
+    db1 = dbs[0, :F] + dbs[0, F:]
+    db2 = dbs[1, :F] + dbs[1, F:]
+    return dsk, dup, dk1, db1, dk2, db2
