@@ -95,3 +95,62 @@ def test_bwd_impl_engages():
     assert dskip.shape == skip.shape
     assert dups.shape == (x.shape[0], 2 * x.shape[1], 2 * x.shape[2],
                           x.shape[3])
+
+
+def test_paired_train_head_end_to_end():
+    """Full wiring: Unet(features_out) with the fused train switches on
+    emits the PAIRED feature map; the fused final-conv+loss kernel consumes
+    it and its paired cotangent drives the v2 backward.  Loss and a sample
+    of parameter gradients must match the natural XLA composition."""
+    from tpu_unet.core import fusion
+    from tpu_unet.kernels.loss import final_ce_dice_loss_grad
+    from tpu_unet.models.unet import Unet
+    from tpu_unet.train.losses import ce_loss, dice_loss
+
+    model = Unet(num_classes=4, backbone="vgg")
+    feat_model = model.clone(features_out=True)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(RNG.rand(1, 32, 32, 3).astype(np.float32))
+    target = jnp.asarray(RNG.randint(0, 4, (1, 32, 32)).astype(np.int32))
+    onehot = jax.nn.one_hot(target, 5, dtype=jnp.float32)
+    cw = (1.0, 1.0, 1.0, 1.0)
+    variables = model.init(key, x, False)
+    params = variables["params"]
+
+    def loss_nat(p):
+        out = model.apply({"params": p}, x, True,
+                          rngs={"dropout": key})
+        return (ce_loss(out, target, cw, 4)
+                + dice_loss(out, onehot))
+
+    def loss_paired(p):
+        feats = feat_model.apply({"params": p}, x, True,
+                                 rngs={"dropout": key})
+        assert feats.shape == (1, 32, 16, 128), feats.shape
+        loss, _ = final_ce_dice_loss_grad(
+            feats, p["final"]["kernel"], p["final"]["bias"], target, cw, 4,
+            with_dice=True, interpret=True)
+        return loss
+
+    fusion.set_fused_decoder(False)
+    fusion.set_paired_train(False)
+    try:
+        l_ref, g_ref = jax.value_and_grad(loss_nat)(params)
+        fusion.set_fused_decoder(True)
+        fusion.set_paired_train(True)
+        l_fus, g_fus = jax.value_and_grad(loss_paired)(params)
+    finally:
+        fusion.set_fused_decoder(None)
+        fusion.set_paired_train(None)
+
+    np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=2e-5)
+    for path in (("final", "kernel"), ("up_concat1", "conv1", "kernel"),
+                 ("up_concat1", "conv2", "bias"),
+                 ("up_concat2", "conv1", "kernel"),
+                 ("vgg", "features_0", "kernel")):
+        a, b = g_ref, g_fus
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4,
+            err_msg="/".join(path))

@@ -9,14 +9,18 @@ switch                      env var                  default
 :func:`use_fused_decoder`   ``TPU_UNET_FUSED_DECODER``  on for TPU backends
 :func:`use_fused_loss`      ``TPU_UNET_FUSED_LOSS``     on for TPU backends
 :func:`use_fused_train`     ``TPU_UNET_FUSED_TRAIN``    off (XLA autodiff wins)
+:func:`use_paired_train`    ``TPU_UNET_PAIRED_TRAIN``   on for TPU backends
 :func:`fuse_deep_stage`     ``TPU_UNET_FUSE_DEEP``      off (XLA wins, 0.89x)
 ==========================  =======================  =========================
 
 Defaults encode v5e measurements: the fused inference decoder and loss win
-on TPU; the fused decoder in *training* loses to XLA autodiff (Pallas
-boundary relayouts in the backward graph), and the deepest decoder stage
-(tiny spatial, heavy channels) is faster through XLA's native conv
-pipeline.  On CPU/GPU every switch defaults off — the Pallas kernels are
+on TPU; the NATURAL-layout fused decoder in training (v1) loses to XLA
+autodiff (Pallas boundary relayouts in the backward graph) and stays
+opt-in, while the fully-PAIRED training region (paired decoder forward →
+fused final-conv+loss → paired backward with in-kernel wgrads,
+kernels/decoder_train.py) wins (69.0 vs 64.1 img/s/chip @512px/bs8) and
+defaults on.  The deepest decoder stage (tiny spatial, heavy channels) is
+faster through XLA's native conv pipeline.  On CPU/GPU every switch defaults off — the Pallas kernels are
 pltpu-flavored (they fail to lower on GPU and only run in slow interpret
 mode on CPU); tests exercise them explicitly with ``interpret=True``.
 
@@ -36,6 +40,7 @@ _overrides: dict[str, bool | None] = {
     "decoder": None,
     "loss": None,
     "train": None,
+    "paired_train": None,
     "deep": None,
 }
 
@@ -68,6 +73,12 @@ def set_fused_train(on: bool | None) -> None:
     _overrides["train"] = on
 
 
+def set_paired_train(on: bool | None) -> None:
+    """Force the fully-paired training region (paired decoder head + v2
+    paired backward) on/off (``None`` restores auto)."""
+    _overrides["paired_train"] = on
+
+
 def set_fuse_deep(on: bool | None) -> None:
     """Force fusion of the deepest decoder stage on/off."""
     _overrides["deep"] = on
@@ -82,7 +93,17 @@ def use_fused_loss() -> bool:
 
 
 def use_fused_train() -> bool:
+    # programmatic override wins outright (tests force the kernel path in
+    # interpret mode on CPU); the env var stays TPU-gated like the others
+    if _overrides["train"] is not None:
+        return _overrides["train"]
     return _switch("train", "TPU_UNET_FUSED_TRAIN", False) and _on_tpu()
+
+
+def use_paired_train() -> bool:
+    if _overrides["paired_train"] is not None:
+        return _overrides["paired_train"]
+    return _switch("paired_train", "TPU_UNET_PAIRED_TRAIN", _on_tpu())
 
 
 def fuse_deep_stage() -> bool:

@@ -229,7 +229,10 @@ def _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt):
             return jnp.concatenate([p[0], m[0], n[0]],
                                    axis=0)[T - 2:2 * T + 2]
 
-        rvw = rv[pl.ds(r0, T + 4)][:, None, :]
+        # one aligned load (r0 = i·T is a multiple of 8 — Mosaic requires
+        # provable sublane alignment); shifted views are register slices
+        rva = rv[pl.ds(r0, T + 4)]
+        rvw = rva[:, None, :]
         gw = win3(g_p, g_m, g_n) * rvw            # OOB rows → exact zero
         ow = win3(o_p, o_m, o_n)
         # yw feeds the conv2 wgrad windows directly: its OOB halo rows
@@ -244,7 +247,7 @@ def _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt):
         # conv1 has no outputs outside the image — its gradient must be
         # exactly zero there (the clamped y1 halo rows are duplicates, not
         # the zero padding that enforced this in the padded-buffer path)
-        dz1 = dz1 * rv[pl.ds(r0 + 1, T + 2)][:, None, :]
+        dz1 = dz1 * rva[1:T + 3][:, None, :]
 
         dsk_ref[0] = _conv_rows(dz1, T, k1sd, k1se, zs, dt, relu=False)
         dup_ref[0] = _conv_rows(dz1, T, k1ud, k1ue, zu, dt, relu=False)

@@ -59,7 +59,19 @@ class Unet(nn.Module):
         if paired_path:
             return UnetUp(_OUT_FILTERS[0], paired_out=True, skip_paired=True,
                           name="up_concat1")(feat1, up2, train)
-        up1 = UnetUp(_OUT_FILTERS[0], name="up_concat1")(feat1, up2, train)
+        # Paired TRAINING head: when the fused train kernels are on, the
+        # last decoder stage emits the column-paired feature map that the
+        # fused final-conv+loss kernel consumes directly, and whose paired
+        # cotangent drives the v2 paired backward — no layout boundary in
+        # the whole up1→loss→backward region (kernels/decoder_train.py).
+        from tpu_unet.core import fusion
+        paired_train = (self.features_out and train
+                        and self.backbone == "vgg" and not self.force_up_conv
+                        and not self.is_initializing()
+                        and fusion.use_fused_decoder()
+                        and fusion.use_paired_train())
+        up1 = UnetUp(_OUT_FILTERS[0], paired_out=paired_train,
+                     name="up_concat1")(feat1, up2, train)
 
         if self.backbone == "resnet50" or self.force_up_conv:
             # extra ×2 upsample head (reference: nets/unet.py:47-54)
