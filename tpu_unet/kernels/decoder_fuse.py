@@ -760,7 +760,6 @@ def _ptrain_bwd(res, g):
             skip, x, k1, b1, k2, b2)
         return vjp(g)
     from tpu_unet.kernels.decoder_train import fused_unetup_bwd_paired_impl
-    from tpu_unet.nn.resize import upsample2x
 
     cs = skip.shape[-1]
     skip_p = skip.reshape(skip.shape[0], skip.shape[1],
@@ -773,12 +772,8 @@ def _ptrain_bwd(res, g):
         outn = out.reshape(gn.shape)
         y1n = y1.reshape(gn.shape)
         return _train_bwd((skip, x, k1, b1, k2, b2, y1n, outn), gn)
-    dsk_p, dup_p, dk1, db1, dk2, db2 = bwd
-    B, H2, W, _ = dup_p.shape
+    dsk_p, dx, dk1, db1, dk2, db2 = bwd
     dskip = dsk_p.reshape(skip.shape)
-    dups = dup_p.reshape(B, H2, 2 * W, dup_p.shape[-1] // 2)
-    up, vjpu = jax.vjp(upsample2x, x)
-    dx, = vjpu(dups.astype(up.dtype))
     return (dskip, dx.astype(x.dtype), dk1.astype(k1.dtype),
             db1.astype(b1.dtype), dk2.astype(k2.dtype),
             db2.astype(b2.dtype))

@@ -202,6 +202,52 @@ def _edge_cotangent(dout):
                      _shift_cols_zero(dout, 1), _shift_cols_zero(dout, -1))
 
 
+def _w_expand_adjoint(dup, we3, wo3, Cx, W):
+    """Adjoint of `_w_expand_pair` on the paired cotangent ``dup``
+    (R, W, 2Cx) — lanes [0:Cx] = d(even), [Cx:2Cx] = d(odd).  Returns
+    dh (R, W, Cx) f32.  Forward: even_j = (1-we_j)·h_{max(j-1,0)} +
+    we_j·h_j, odd_j = (1-wo_j)·h_j + wo_j·h_{min(j+1,W-1)}."""
+    deven = dup[:, :, :Cx].astype(jnp.float32)
+    dodd = dup[:, :, Cx:].astype(jnp.float32)
+    a = deven * we3
+    b = deven - a                               # (1-we)·deven
+    c = dodd - dodd * wo3                       # (1-wo)·dodd
+    d = dodd * wo3
+    colj = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    sb = jnp.concatenate([b[:, 1:], jnp.zeros_like(b[:, :1])], axis=1)
+    sd = jnp.concatenate([jnp.zeros_like(d[:, :1]), d[:, :-1]], axis=1)
+    return (a + sb + jnp.where(colj == 0, b, 0.0)
+            + c + sd + jnp.where(colj == W - 1, d, 0.0))
+
+
+def _h_adjoint_rows(dh, hwc, hselc, validc, T, win, W, Cx):
+    """Adjoint of the H-axis ×2 lerp for the T output rows of one tile:
+    dx_win = Lᵀ @ dh, with L (T, win) rebuilt in-register exactly as
+    `_h_upsample_mxu` builds it (rows e = t+2 of the E-row L).  Returns
+    (win, W·Cx) f32 — the tile's contribution to x rows
+    r0//2 - 2 .. r0//2 + win - 2, overlap-added by the caller."""
+    ein = jax.lax.broadcasted_iota(jnp.int32, (T, win), 0) + 2
+    li = jax.lax.broadcasted_iota(jnp.int32, (T, win), 1)
+    def row_coeff(c):
+        # per-row scalars broadcast across the win columns; the arrays
+        # arrive Cx lanes wide (Cx >= win on every production shape —
+        # the broadcast branch only serves narrow test shapes)
+        if c.shape[1] >= win:
+            return c[2:T + 2, :win].astype(jnp.float32)
+        return jnp.broadcast_to(c[2:T + 2, :1],
+                                (T, win)).astype(jnp.float32)
+
+    hw_t, hsel_t, valid_t = row_coeff(hwc), row_coeff(hselc), row_coeff(validc)
+    lo_i = jnp.where(hsel_t != 0.0, (ein + 2) // 2, ein // 2)
+    aw = valid_t - hw_t
+    L = (jnp.where(li == lo_i, aw, 0.0)
+         + jnp.where(li == lo_i + 1, hw_t, 0.0))
+    return jax.lax.dot_general(
+        L, dh.reshape(T, W * Cx),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt):
     Cp = Cs + Cx
 
@@ -209,7 +255,7 @@ def _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt):
                k2d, k2e, zf, k1sd, k1se, zs, k1ud, k1ue, zu,
                sk_p, sk_m, sk_n, x_l, x_m, x_h,
                g_p, g_m, g_n, o_p, o_m, o_n, y_p, y_m, y_n,
-               dsk_ref, dup_ref, dkd1_ref, dke1_ref, dkd2_ref, dke2_ref,
+               dsk_ref, dxp_ref, dkd1_ref, dke1_ref, dkd2_ref, dke2_ref,
                db_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
@@ -250,7 +296,18 @@ def _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt):
         dz1 = dz1 * rva[1:T + 3][:, None, :]
 
         dsk_ref[0] = _conv_rows(dz1, T, k1sd, k1se, zs, dt, relu=False)
-        dup_ref[0] = _conv_rows(dz1, T, k1ud, k1ue, zu, dt, relu=False)
+        # ---- upsample transpose IN-KERNEL: dup (the paired cotangent of
+        # [even|odd]) never touches HBM; its W- and H-lerp adjoints run
+        # here and only the tile's dx window (win rows of x) is written.
+        # The XLA path this replaces (unpair reshape + relayout copies +
+        # the upsample2x VJP over (B, 2H, 2W, Cx)) profiled ~5.7 ms/step.
+        dup = _conv_rows(dz1, T, k1ud, k1ue, zu, dt, relu=False)
+        we3 = we[...].astype(jnp.float32)[None]
+        wo3 = wo[...].astype(jnp.float32)[None]
+        dh = _w_expand_adjoint(dup, we3, wo3, Cx, W)
+        dxw = _h_adjoint_rows(dh, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
+                              validx[pl.ds(r0, E)], T, win, W, Cx)
+        dxp_ref[0, 0] = dxw.reshape(win, W, Cx).astype(dt)
 
         # ---- conv2 wgrad: src = y1 window, dout = g2 rows r0..r0+T ----
         g2c = g2[2:T + 2]
@@ -380,9 +437,10 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
         return pl.BlockSpec(shape, (lambda b, i: (0,) * nd),
                             memory_space=pltpu.VMEM)
 
+    nblk = H2 // T
     out_shapes = (
         jax.ShapeDtypeStruct((B, H2, W, 2 * Cs), dt),
-        jax.ShapeDtypeStruct((B, H2, W, 2 * Cx), dt),
+        jax.ShapeDtypeStruct((B, nblk, win, W, Cx), dt),
         jax.ShapeDtypeStruct((3, 2 * Cp, 2 * F), jnp.float32),
         jax.ShapeDtypeStruct((3, 2 * Cp, 2 * F), jnp.float32),
         jax.ShapeDtypeStruct((3, 2 * F, 2 * F), jnp.float32),
@@ -392,7 +450,7 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
     out_specs = (
         pl.BlockSpec((1, T, W, 2 * Cs), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, W, 2 * Cx), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, 1, win, W, Cx), lambda b, i: (b, i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         const((3, 2 * Cp, 2 * F)),
         const((3, 2 * Cp, 2 * F)),
@@ -421,11 +479,27 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
       jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
       k2f_d, k2f_e, zf, k1s_d, k1s_e, zs, k1u_d, k1u_e, zu,
       skip, skip, skip, x, x, x, g, g, g, out, out, out, y1, y1, y1)
-    dsk, dup, dkd1, dke1, dkd2, dke2, dbs = res
+    dsk, dxp, dkd1, dke1, dkd2, dke2, dbs = res
+
+    # overlap-add of the per-tile dx windows: tile i covers x rows
+    # i·half − 2 .. i·half + half + 2 (2-row halos each side; the
+    # outermost halo rows carry exact zeros by construction of L)
+    half = T // 2
+    dx = dxp[:, :, 2:2 + half].reshape(B, H, W, Cx)
+    if nblk > 1:
+        zlo = jnp.concatenate(
+            [jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt),
+             dxp[:, 1:, 0:2]], axis=2).reshape(B, H - half, W, Cx)
+        dx = dx + jnp.pad(zlo, ((0, 0), (0, half), (0, 0), (0, 0)))
+        zhi = jnp.concatenate(
+            [dxp[:, :-1, 2 + half:4 + half],
+             jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt)],
+            axis=2).reshape(B, H - half, W, Cx)
+        dx = dx + jnp.pad(zhi, ((0, 0), (half, 0), (0, 0), (0, 0)))
 
     # paired-space → natural weight grads (exact adjoint of _pair_weights)
     dk1 = _unpair_wgrad(dkd1, dke1, (3, 3, Cp, F), Cs, F)
     dk2 = _unpair_wgrad(dkd2, dke2, (3, 3, F, F), F, F)
     db1 = dbs[0, :F] + dbs[0, F:]
     db2 = dbs[1, :F] + dbs[1, F:]
-    return dsk, dup, dk1, db1, dk2, db2
+    return dsk, dx, dk1, db1, dk2, db2
