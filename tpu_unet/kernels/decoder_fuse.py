@@ -716,6 +716,18 @@ def _train_bwd(res, g):
 fused_unetup_train.defvjp(_train_fwd, _train_bwd)
 
 
+def _skip_is_paired(skip, x):
+    """The skip may arrive COLUMN-PAIRED from a fused producer (the train
+    stem, kernels/stem_train.py): (B, 2H, W, 2Cs) instead of
+    (B, 2H, 2W, Cs).  The column counts disambiguate."""
+    return skip.shape[2] == x.shape[2]
+
+
+def _unpair_skip(skip):
+    B, H2, Wh, Cs2 = skip.shape
+    return skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
+
+
 @jax.custom_vjp
 def fused_unetup_train_paired(skip, x, k1, b1, k2, b2):
     """Training decoder stage with COLUMN-PAIRED output (B, 2H, W, 2F).
@@ -726,13 +738,20 @@ def fused_unetup_train_paired(skip, x, k1, b1, k2, b2):
     that kernel, and the backward (kernels/decoder_train.py v2) runs the
     activation-gradient chain AND both conv weight gradients in one Pallas
     pass in paired space — no paired↔natural boundary inside the region.
-    Gradients are exact vs the XLA composition (tests/test_decoder_train).
+    The skip itself may arrive paired (from the train stem) — then its
+    cotangent leaves paired too, and the layout never breaks anywhere
+    between the stem and the loss.  Gradients are exact vs the XLA
+    composition (tests/test_decoder_train).
     """
+    sp = _skip_is_paired(skip, x)
     if not _train_kernel_ok(skip, k1):
-        return _paired_view(reference_unetup(skip, x, k1, b1, k2, b2))
-    out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, keep_paired=True)
+        sk = _unpair_skip(skip) if sp else skip
+        return _paired_view(reference_unetup(sk, x, k1, b1, k2, b2))
+    out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, keep_paired=True,
+                                 skip_paired=sp)
     if out is None:
-        return _paired_view(reference_unetup(skip, x, k1, b1, k2, b2))
+        sk = _unpair_skip(skip) if sp else skip
+        return _paired_view(reference_unetup(sk, x, k1, b1, k2, b2))
     return out
 
 
@@ -742,11 +761,14 @@ def _paired_view(out_nat):
 
 
 def _ptrain_fwd(skip, x, k1, b1, k2, b2):
+    sp = _skip_is_paired(skip, x)
     res = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2,
-                                  keep_paired=True, want_y1=True)
+                                  keep_paired=True, skip_paired=sp,
+                                  want_y1=True)
            if _train_kernel_ok(skip, k1) else None)
     if res is None:
-        out = _paired_view(reference_unetup(skip, x, k1, b1, k2, b2))
+        sk = _unpair_skip(skip) if sp else skip
+        out = _paired_view(reference_unetup(sk, x, k1, b1, k2, b2))
         return out, (skip, x, k1, b1, k2, b2, None, None)
     out, y1 = res
     return out, (skip, x, k1, b1, k2, b2, y1, out)
@@ -754,16 +776,23 @@ def _ptrain_fwd(skip, x, k1, b1, k2, b2):
 
 def _ptrain_bwd(res, g):
     skip, x, k1, b1, k2, b2, y1, out = res
+    sp = _skip_is_paired(skip, x)
     if y1 is None:
-        _, vjp = jax.vjp(
-            lambda *a: _paired_view(reference_unetup(*a)),
-            skip, x, k1, b1, k2, b2)
+        def ref(sk, *a):
+            sk = _unpair_skip(sk) if sp else sk
+            return _paired_view(reference_unetup(sk, *a))
+
+        _, vjp = jax.vjp(ref, skip, x, k1, b1, k2, b2)
         return vjp(g)
     from tpu_unet.kernels.decoder_train import fused_unetup_bwd_paired_impl
 
-    cs = skip.shape[-1]
-    skip_p = skip.reshape(skip.shape[0], skip.shape[1],
-                          skip.shape[2] // 2, 2 * cs)
+    if sp:
+        skip_p = skip
+        cs = skip.shape[-1] // 2
+    else:
+        cs = skip.shape[-1]
+        skip_p = skip.reshape(skip.shape[0], skip.shape[1],
+                              skip.shape[2] // 2, 2 * cs)
     bwd = fused_unetup_bwd_paired_impl(g.astype(y1.dtype), out, y1,
                                        skip_p, x, k1, k2, cs)
     if bwd is None:
@@ -771,9 +800,13 @@ def _ptrain_bwd(res, g):
         gn = g.reshape(g.shape[0], g.shape[1], -1, g.shape[-1] // 2)
         outn = out.reshape(gn.shape)
         y1n = y1.reshape(gn.shape)
-        return _train_bwd((skip, x, k1, b1, k2, b2, y1n, outn), gn)
+        sk = _unpair_skip(skip) if sp else skip
+        grads = _train_bwd((sk, x, k1, b1, k2, b2, y1n, outn), gn)
+        if sp:
+            grads = (grads[0].reshape(skip.shape),) + grads[1:]
+        return grads
     dsk_p, dx, dk1, db1, dk2, db2 = bwd
-    dskip = dsk_p.reshape(skip.shape)
+    dskip = dsk_p if sp else dsk_p.reshape(skip.shape)
     return (dskip, dx.astype(x.dtype), dk1.astype(k1.dtype),
             db1.astype(b1.dtype), dk2.astype(k2.dtype),
             db2.astype(b2.dtype))

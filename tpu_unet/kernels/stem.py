@@ -75,7 +75,7 @@ def _make_stem_kernel(Wp, F, dt, lane_roll):
     R1 = _T + 2           # conv1_1 output rows (conv1_2 halo included)
 
     def kernel(vcc, v1, k11p, b11p, k12d, k12e, b12d,
-               x_l, x_m, x_t, out_ref, pool_ref):
+               x_l, x_m, x_t, out_ref, pool_ref, *a1_ref):
         t = pl.program_id(1)
         r0 = t * _T
 
@@ -94,6 +94,8 @@ def _make_stem_kernel(Wp, F, dt, lane_roll):
         a1 = jax.nn.relu(a1 + b11p[...])
         a1 = a1.reshape(R1, Wp, 2 * F)
         a1 = (a1 * v1[pl.ds(r0, R1)][:, None, :]).astype(dt)
+        if a1_ref:  # training residual: post-relu conv1_1 rows
+            a1_ref[0][0] = a1[1:_T + 1]
         y2 = _conv_rows(a1, _T, k12d, k12e, b12d, dt)           # (T, Wp, 2F)
         out_ref[0] = y2
         yf = y2.astype(jnp.float32)
@@ -104,7 +106,8 @@ def _make_stem_kernel(Wp, F, dt, lane_roll):
     return kernel
 
 
-def fused_vgg_stem_impl(x, k11, b11, k12, b12, prepad_pool: bool = False):
+def fused_vgg_stem_impl(x, k11, b11, k12, b12, prepad_pool: bool = False,
+                        prepad_skip: bool = True, want_a1: bool = False):
     """(B, H, W, 3) normalized image → (paired skip (B, H, W/2, 2F),
     pooled (B, H/2, W/2, F)).  Returns None for untileable shapes.
 
@@ -177,24 +180,36 @@ def fused_vgg_stem_impl(x, k11, b11, k12, b12, prepad_pool: bool = False):
         pool_spec = pl.BlockSpec((1, _T // 2, Wp, F),
                                  lambda b, t: (b, t, 0, 0),
                                  memory_space=pltpu.VMEM)
-    skip_padded, pooled = pl.pallas_call(
+    if prepad_skip:
+        skip_shape = jax.ShapeDtypeStruct((B, H + 2 * _T, Wp, 2 * F), dt)
+        skip_spec = pl.BlockSpec((1, _T, Wp, 2 * F),
+                                 lambda b, t: (b, t + 1, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        skip_shape = jax.ShapeDtypeStruct((B, H, Wp, 2 * F), dt)
+        skip_spec = pl.BlockSpec((1, _T, Wp, 2 * F),
+                                 lambda b, t: (b, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out_shapes = [skip_shape, pool_shape]
+    out_specs = [skip_spec, pool_spec]
+    if want_a1:
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Wp, 2 * F), dt))
+        out_specs.append(pl.BlockSpec((1, _T, Wp, 2 * F),
+                                      lambda b, t: (b, t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((B, H + 2 * _T, Wp, 2 * F), dt),
-                   pool_shape),
+        out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=coef_specs + data_specs,
-        out_specs=(
-            pl.BlockSpec((1, _T, Wp, 2 * F), lambda b, t: (b, t + 1, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pool_spec,
-        ),
+        out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(vcc).astype(dt), jnp.asarray(v1),
       k11p, b11p, k12d, k12e, b12d, xp, xp, xp)
-    return skip_padded, pooled
+    return res if want_a1 else (res[0], res[1])
 
 
 def reference_vgg_stem(x, k11, b11, k12, b12):

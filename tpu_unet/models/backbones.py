@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from tpu_unet.nn.blocks import batch_norm, conv, max_pool2, max_pool_ceil
 
@@ -42,6 +43,10 @@ class VGG16(nn.Module):
     """
     fused_stem: bool = False
     fused_blocks: bool = False
+    # training stem: stage 1 + pool as one Pallas pass with a custom VJP
+    # (kernels/stem_train.py); feat1 comes back column-PAIRED and its
+    # cotangent arrives paired from the paired decoder backward
+    fused_stem_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,7 +60,18 @@ class VGG16(nn.Module):
             from tpu_unet.core.fusion import use_fused_decoder
             fuse = use_fused_decoder()
         x_p8 = False  # x currently carries the P8 (8-lead) row padding
-        if self.fused_stem and not self.is_initializing():
+        if self.fused_stem_train and not self.is_initializing():
+            from tpu_unet.kernels.stem_train import fused_vgg_stem_train
+            from tpu_unet.nn.blocks import _ConvParams
+            k11, b11 = _ConvParams(64, 3, name="features_0")()
+            k12, b12 = _ConvParams(64, 64, name="features_2")()
+            dt = jnp.result_type(x.dtype, k11.dtype)
+            feat1_paired, x = fused_vgg_stem_train(
+                x.astype(dt), k11.astype(dt), b11.astype(dt),
+                k12.astype(dt), b12.astype(dt))
+            feats.append(feat1_paired)
+            start = 1
+        elif self.fused_stem and not self.is_initializing():
             from tpu_unet.kernels.stem import fused_vgg_stem_impl
             from tpu_unet.nn.blocks import _ConvParams
             k11, b11 = _ConvParams(64, 3, name="features_0")()

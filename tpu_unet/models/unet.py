@@ -40,11 +40,24 @@ class Unet(nn.Module):
     def __call__(self, x, train: bool = False):
         paired_path = (self.paired_head and self.backbone == "vgg"
                        and not self.force_up_conv)
+        # Paired TRAINING region: when the fused train kernels are on, the
+        # stem emits the paired feat1 (custom VJP, kernels/stem_train.py),
+        # the last decoder stage consumes it paired and emits the paired
+        # feature map for the fused final-conv+loss kernel, and every
+        # cotangent between the loss and the stem stays paired — no layout
+        # boundary anywhere in the stem→up1→loss→backward region.
+        from tpu_unet.core import fusion
+        paired_train = (self.features_out and train
+                        and self.backbone == "vgg" and not self.force_up_conv
+                        and not self.is_initializing()
+                        and fusion.use_fused_decoder()
+                        and fusion.use_paired_train())
         if self.backbone == "vgg":
             # fused encoder blocks are inference-only (no VJP on the
             # encoder kernel); the serving path is the paired head
             feats = VGG16(name="vgg", fused_stem=paired_path,
-                          fused_blocks=paired_path)(x, train)
+                          fused_blocks=paired_path,
+                          fused_stem_train=paired_train)(x, train)
         elif self.backbone == "resnet50":
             feats = ResNet50(name="resnet")(x, train)
         else:
@@ -59,18 +72,8 @@ class Unet(nn.Module):
         if paired_path:
             return UnetUp(_OUT_FILTERS[0], paired_out=True, skip_paired=True,
                           name="up_concat1")(feat1, up2, train)
-        # Paired TRAINING head: when the fused train kernels are on, the
-        # last decoder stage emits the column-paired feature map that the
-        # fused final-conv+loss kernel consumes directly, and whose paired
-        # cotangent drives the v2 paired backward — no layout boundary in
-        # the whole up1→loss→backward region (kernels/decoder_train.py).
-        from tpu_unet.core import fusion
-        paired_train = (self.features_out and train
-                        and self.backbone == "vgg" and not self.force_up_conv
-                        and not self.is_initializing()
-                        and fusion.use_fused_decoder()
-                        and fusion.use_paired_train())
         up1 = UnetUp(_OUT_FILTERS[0], paired_out=paired_train,
+                     skip_paired=paired_train,
                      name="up_concat1")(feat1, up2, train)
 
         if self.backbone == "resnet50" or self.force_up_conv:

@@ -192,21 +192,25 @@ class UnetUp(nn.Module):
             if self.paired_out and not train:
                 return fused_unetup_paired(skip, x, k1, b1, k2, b2,
                                            skip_paired=skip_paired)
-            if skip_paired:
-                B, H2, Wh, Cs2 = skip.shape
-                skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
             if train and self.paired_out:
                 # paired training head: the stage emits (B, H, W/2, 2F)
                 # consumed relayout-free by the fused final-conv+loss
                 # kernel, whose paired cotangent feeds the v2 paired
                 # backward (kernels/decoder_train.py) — the whole
-                # up1→final→loss→backward region speaks one layout.
+                # up1→final→loss→backward region speaks one layout.  A
+                # paired skip (train stem) passes straight through too.
                 from tpu_unet.core import fusion
                 if fusion.use_paired_train():
                     return fused_unetup_train_paired(skip, x, k1, b1, k2, b2)
+                if skip_paired:
+                    B, H2, Wh, Cs2 = skip.shape
+                    skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
                 out = reference_unetup(skip, x, k1, b1, k2, b2)
                 B, H2, W2, F = out.shape
                 return out.reshape(B, H2, W2 // 2, 2 * F)
+            if skip_paired:
+                B, H2, Wh, Cs2 = skip.shape
+                skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
             if train:
                 # Training default: the plain XLA composition.  XLA's
                 # autodiff already saves cc/y1 (no remat), keeps layouts
