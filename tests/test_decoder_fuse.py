@@ -103,3 +103,25 @@ def test_train_vjp_matches_reference_grads():
         for a, b in zip(g_ref, g_tr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 8, 8, 128, 128, 128),   # wide plane-paired path (F >= 128)
+    (2, 8, 8, 128, 256, 128),   # stage-2-like channel ratios
+])
+def test_wide_plane_paired_matches_reference(shape):
+    """The F >= 128 plane-paired kernel (_wide_kernel) must match the XLA
+    reference exactly — dense + separate full-lane edge matmuls, skip
+    pair fold, natural output interleave."""
+    B, H, W, Cs, Cx, F = shape
+    skip = jnp.asarray(RNG.randn(B, 2 * H, 2 * W, Cs).astype(np.float32))
+    x = jnp.asarray(RNG.randn(B, H, W, Cx).astype(np.float32))
+    k1 = jnp.asarray((RNG.randn(3, 3, Cs + Cx, F) * 0.05).astype(np.float32))
+    b1 = jnp.asarray((RNG.randn(F) * 0.1).astype(np.float32))
+    k2 = jnp.asarray((RNG.randn(3, 3, F, F) * 0.05).astype(np.float32))
+    b2 = jnp.asarray((RNG.randn(F) * 0.1).astype(np.float32))
+    out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2)
+    assert out is not None
+    ref = reference_unetup(skip, x, k1, b1, k2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

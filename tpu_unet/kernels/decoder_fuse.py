@@ -217,6 +217,103 @@ def _conv_rows(src, R, kd, ke, bd, dt, relu=True):
     return jax.nn.relu(out) if relu else out
 
 
+def _pair_weights_eo(k):
+    """Plane-paired conv weights for channel order [E-plane | O-plane]
+    (all Cp even-column channels first, then all odd).  Returns
+    (kd (3, 2C, 2F), k_eo (3, C, F), k_ee (3, C, F)):
+
+      kd:   dense per-ky block matrix [[kx1, kx0], [kx2, kx1]] — output
+            columns [even F | odd F].
+      k_eo: the pair j-1 → even-output edge (kx0, applied to the O plane).
+      k_ee: the pair j+1 → odd-output edge (kx2, applied to the E plane).
+
+    Unlike `_pair_weights`' combined (2C, 2F) edge matmul (needed at
+    F < 128 where separate F-lane matmuls half-fill the MXU), the two
+    edges here run as SEPARATE full-lane (C, F) matmuls — at F >= 128
+    that wastes nothing, so the conv has NO FLOP overhead vs natural."""
+    kx0, kx1, kx2 = k[:, 0], k[:, 1], k[:, 2]
+    kd = jnp.concatenate([
+        jnp.concatenate([kx1, kx0], axis=-1),
+        jnp.concatenate([kx2, kx1], axis=-1)], axis=1)
+    return kd, kx0, kx2
+
+
+def _conv_rows_wide(src, R, kd, keo, kee, bd, dt, relu=True):
+    """One plane-paired 3x3 conv for F >= 128: dense per-ky matmuls plus
+    two separate full-lane edge matmuls.  src is (R+2, W, 2C) in
+    [E-plane | O-plane] channel order; output (R, W, 2F) = [even | odd]
+    output columns per pair (the standard paired layout)."""
+    C2 = src.shape[-1]
+    C = C2 // 2
+    acc = _mm(src[0:R], kd[0])
+    eo = _mm(src[0:R, :, C:], keo[0])
+    ee = _mm(src[0:R, :, :C], kee[0])
+    for ky in (1, 2):
+        acc += _mm(src[ky:ky + R], kd[ky])
+        eo += _mm(src[ky:ky + R, :, C:], keo[ky])
+        ee += _mm(src[ky:ky + R, :, :C], kee[ky])
+    acc += jnp.concatenate([_shift_cols_zero(eo, -1),
+                            _shift_cols_zero(ee, 1)], axis=-1)
+    out = acc.astype(dt) + bd[...][None, :]
+    return jax.nn.relu(out) if relu else out
+
+
+def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, mxu_lerp=False,
+                 lerp_dt=jnp.float32, lead_off=0):
+    """Plane-paired kernel for the F >= 128 decoder stages (up2/up3).
+
+    The natural-layout kernel paid ~1.9 ms/step (stage 2, 512px bs8)
+    interleaving the upsample's even/odd column planes into the W2-wide
+    cc buffer — a pure sublane-shuffle relayout.  Here the planes feed
+    the convs DIRECTLY as the [E | O] channel blocks of `_conv_rows_wide`
+    (skip joins via one in-register pair fold, 4x less data), and only
+    the final (T, W, 2F) bf16 result is interleaved back to the natural
+    layout — measured 5.69 vs 7.12 ms on the stage-2 shape."""
+    def kernel(hw, hsel, valid, valid1, skv, we, wo,
+               k1d, k1eo, k1ee, b1p, k2d, k2eo, k2ee, b2p,
+               sk_m, sk_h, x_l, x_m, x_h, out_ref):
+        i = pl.program_id(1)
+        r0 = i * T
+
+        if mxu_lerp:
+            xs2d = jnp.concatenate(
+                [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+            h2 = _h_upsample_mxu(xs2d, hw[pl.ds(r0, E)],
+                                 hsel[pl.ds(r0, E)], valid[pl.ds(r0, E)],
+                                 E, win, dt, acc_dt=lerp_dt)
+            even2, odd2 = _w_expand_pair_2d(h2, we[...], wo[...], Cx)
+            even = even2.reshape(E, W, Cx).astype(dt)
+            odd = odd2.reshape(E, W, Cx).astype(dt)
+        else:
+            xs = jnp.concatenate(
+                [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+            h = _h_upsample_rows(xs, hw[pl.ds(r0, E)],
+                                 hsel[pl.ds(r0, E)], r0, H2, E)
+            h = h * valid[pl.ds(r0, E)][:, None, :]
+            even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
+            even = even.astype(dt)
+            odd = odd.astype(dt)
+        sk = jnp.concatenate([sk_m[0, lead_off:], sk_h[0, :4 + lead_off]],
+                             axis=0)
+        if lead_off:
+            # prepadded producer buffer (P8): boundary blocks are
+            # uninitialized — where-select (NaN-safe) restores the
+            # zero padding the conv expects
+            sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0, sk,
+                           jnp.zeros_like(sk))
+        skp = sk.reshape(E, W, 2 * Cs)
+        cc = jnp.concatenate([skp[:, :, :Cs], even,
+                              skp[:, :, Cs:], odd], axis=-1)
+        y1 = _conv_rows_wide(cc, T + 2, k1d, k1eo, k1ee, b1p, dt)
+        y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
+        outp = _conv_rows_wide(y1, T, k2d, k2eo, k2ee, b2p, dt)
+        oE, oO = outp[:, :, :F], outp[:, :, F:]
+        st = jnp.concatenate([oE[:, :, None], oO[:, :, None]], axis=2)
+        out_ref[0] = st.reshape(T, 2 * W, F)
+
+    return kernel
+
+
 def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
                    lead_off=0, mxu_lerp=False, lerp_dt=jnp.float32):
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
@@ -397,9 +494,15 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         # pipeline wins — measured 0.89x on v5e at (32², 1024→512)
         return None
 
+    # plane-paired path for the F >= 128 stages: the upsample's even/odd
+    # planes feed the convs directly (no sublane interleave of the wide
+    # f32 cc buffer — that relayout profiled ~1.9 ms/step on stage 2)
+    wide = (not paired and not want_y1 and F % 128 == 0
+            and Cs % 128 == 0 and Cx % 128 == 0 and W % 2 == 0)
+
     hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
-    cw = 2 * F if paired else F
+    cw = 2 * F if (paired or wide) else F
     r1 = np.arange(-1, H2 + 1)
     valid1 = np.repeat(((r1 >= 0) & (r1 < H2)).astype(np.float32
                                                       ).reshape(-1, 1),
@@ -473,6 +576,19 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         out_spec = pl.BlockSpec((1, T, W, 2 * F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
         wsk, csk = W, 2 * Cs
+    elif wide:
+        k1d, k1eo, k1ee = _pair_weights_eo(k1.astype(dt))
+        k2d, k2eo, k2ee = _pair_weights_eo(k2.astype(dt))
+        b1p = jnp.concatenate([b1, b1]).astype(dt)
+        b2p = jnp.concatenate([b2, b2]).astype(dt)
+        weight_args = (k1d, k1eo, k1ee, b1p, k2d, k2eo, k2ee, b2p)
+        kernel = _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
+                              mxu_lerp=mxu_lerp, lerp_dt=lerp_dt,
+                              lead_off=6 if use_prepad else 0)
+        out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
+        out_spec = pl.BlockSpec((1, T, W2, F), lambda b, i: (b, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        wsk, csk = W2, Cs
     else:
         weight_args = (k1.astype(dt), b1.astype(dt),
                        k2.astype(dt), b2.astype(dt))
