@@ -154,3 +154,31 @@ def test_paired_train_head_end_to_end():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-4,
             err_msg="/".join(path))
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 8, 8, 128, 128, 128),    # minimal wide stage
+    (1, 8, 8, 128, 256, 128),    # stage-2-like channel ratios
+])
+def test_train_wide_vjp_matches_autodiff(shape):
+    """The wide (F >= 128) train stage — plane-paired forward + one-pass
+    backward with in-kernel wgrads and upsample transpose — must match
+    autodiff of the natural composition exactly."""
+    from tpu_unet.kernels.decoder_fuse import fused_unetup_train_wide
+
+    args = _case(*shape)
+
+    def loss_ref(*a):
+        return jnp.sum(reference_unetup(*a) ** 2)
+
+    def loss_fus(*a):
+        return jnp.sum(fused_unetup_train_wide(*a) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    g_fus = jax.grad(loss_fus, argnums=tuple(range(6)))(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_fus)):
+        a, b = np.asarray(a), np.asarray(b)
+        # 128-channel f32 accumulations differ from autodiff only in
+        # summation order; compare on the normalized infinity norm
+        rel = np.abs(b - a).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 2e-5, f"grad argnum {i}: rel {rel}"

@@ -258,8 +258,8 @@ def _conv_rows_wide(src, R, kd, keo, kee, bd, dt, relu=True):
     return jax.nn.relu(out) if relu else out
 
 
-def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, mxu_lerp=False,
-                 lerp_dt=jnp.float32, lead_off=0):
+def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
+                 mxu_lerp=False, lerp_dt=jnp.float32, lead_off=0):
     """Plane-paired kernel for the F >= 128 decoder stages (up2/up3).
 
     The natural-layout kernel paid ~1.9 ms/step (stage 2, 512px bs8)
@@ -271,7 +271,7 @@ def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, mxu_lerp=False,
     layout — measured 5.69 vs 7.12 ms on the stage-2 shape."""
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
                k1d, k1eo, k1ee, b1p, k2d, k2eo, k2ee, b2p,
-               sk_m, sk_h, x_l, x_m, x_h, out_ref):
+               sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref):
         i = pl.program_id(1)
         r0 = i * T
 
@@ -306,6 +306,8 @@ def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, mxu_lerp=False,
                               skp[:, :, Cs:], odd], axis=-1)
         y1 = _conv_rows_wide(cc, T + 2, k1d, k1eo, k1ee, b1p, dt)
         y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
+        if want_y1:  # training residual, saved PAIRED [E|O]
+            y1_ref[0][0] = y1[1:T + 1]
         outp = _conv_rows_wide(y1, T, k2d, k2eo, k2ee, b2p, dt)
         oE, oO = outp[:, :, :F], outp[:, :, F:]
         st = jnp.concatenate([oE[:, :, None], oO[:, :, None]], axis=2)
@@ -497,7 +499,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # plane-paired path for the F >= 128 stages: the upsample's even/odd
     # planes feed the convs directly (no sublane interleave of the wide
     # f32 cc buffer — that relayout profiled ~1.9 ms/step on stage 2)
-    wide = (not paired and not want_y1 and F % 128 == 0
+    wide = (not paired and F % 128 == 0
             and Cs % 128 == 0 and Cx % 128 == 0 and W % 2 == 0)
 
     hw, hsel, valid = _row_arrays(H)
@@ -583,6 +585,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         b2p = jnp.concatenate([b2, b2]).astype(dt)
         weight_args = (k1d, k1eo, k1ee, b1p, k2d, k2eo, k2ee, b2p)
         kernel = _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
+                              want_y1=want_y1,
                               mxu_lerp=mxu_lerp, lerp_dt=lerp_dt,
                               lead_off=6 if use_prepad else 0)
         out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
@@ -634,8 +637,15 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
                      memory_space=pltpu.VMEM),
     ] + x_specs
     if want_y1:
-        out_shape = (out_shape, out_shape)
-        out_spec = (out_spec, out_spec)
+        if wide:  # the wide kernel's y1 residual is saved PAIRED [E|O]
+            y1_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
+            y1_spec = pl.BlockSpec((1, T, W, 2 * F),
+                                   lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        else:
+            y1_shape, y1_spec = out_shape, out_spec
+        out_shape = (out_shape, y1_shape)
+        out_spec = (out_spec, y1_spec)
     out_call = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -929,3 +939,59 @@ def _ptrain_bwd(res, g):
 
 
 fused_unetup_train_paired.defvjp(_ptrain_fwd, _ptrain_bwd)
+
+
+# -- wide (F >= 128) training stage ------------------------------------------
+
+
+def _wide_train_ok(skip, x, k1):
+    F = k1.shape[-1]
+    return (F % 128 == 0 and skip.shape[-1] % 128 == 0
+            and x.shape[-1] % 128 == 0)
+
+
+@jax.custom_vjp
+def fused_unetup_train_wide(skip, x, k1, b1, k2, b2):
+    """Training decoder stage for the F >= 128 stages (up2/up3): the
+    plane-paired forward (`_wide_kernel`) with NATURAL output, and a
+    one-pass wide backward (kernels/decoder_train.py
+    ``fused_unetup_bwd_wide_impl``) that runs the activation-gradient
+    chain, both weight gradients, and the upsample transpose in-kernel.
+    Gradients are exact vs the XLA composition (tests/test_decoder_train).
+    """
+    out = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2)
+           if _wide_train_ok(skip, x, k1) else None)
+    if out is None:
+        return reference_unetup(skip, x, k1, b1, k2, b2)
+    return out
+
+
+def _wtrain_fwd(skip, x, k1, b1, k2, b2):
+    res = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, want_y1=True)
+           if _wide_train_ok(skip, x, k1) else None)
+    if res is None:
+        return (reference_unetup(skip, x, k1, b1, k2, b2),
+                (skip, x, k1, b1, k2, b2, None, None))
+    out, y1p = res
+    return out, (skip, x, k1, b1, k2, b2, y1p, out)
+
+
+def _wtrain_bwd(res, g):
+    skip, x, k1, b1, k2, b2, y1p, out = res
+    if y1p is None:
+        _, vjp = jax.vjp(reference_unetup, skip, x, k1, b1, k2, b2)
+        return vjp(g)
+    from tpu_unet.kernels.decoder_train import fused_unetup_bwd_wide_impl
+
+    bwd = fused_unetup_bwd_wide_impl(g.astype(y1p.dtype), out, y1p,
+                                     skip, x, k1, k2, skip.shape[-1])
+    if bwd is None:  # untileable at bwd time — differentiate the reference
+        _, vjp = jax.vjp(reference_unetup, skip, x, k1, b1, k2, b2)
+        return vjp(g)
+    dskip, dx, dk1, db1, dk2, db2 = bwd
+    return (dskip, dx.astype(x.dtype), dk1.astype(k1.dtype),
+            db1.astype(b1.dtype), dk2.astype(k2.dtype),
+            db2.astype(b2.dtype))
+
+
+fused_unetup_train_wide.defvjp(_wtrain_fwd, _wtrain_bwd)

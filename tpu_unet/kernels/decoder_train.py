@@ -503,3 +503,281 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
     db1 = dbs[0, :F] + dbs[0, F:]
     db2 = dbs[1, :F] + dbs[1, F:]
     return dsk, dx, dk1, db1, dk2, db2
+
+
+# ---------------------------------------------------------------------------
+# Wide (F >= 128) training backward — the up2/up3 stages.
+#
+# With up1 + the stem + the loss fused, the up2/up3 training regions were
+# the largest remaining XLA cost (~18 ms/step for up2 at 512px/bs8: the
+# cc concat+pad fusions, conv dgrad/wgrad fusions, and ~5 ms/step of
+# {3,2,1,0}<->{3,0,2,1} relayouts at the Pallas boundary).  This kernel
+# mirrors the v2 paired backward but speaks the PLANE-paired [E|O]
+# layout of `_conv_rows_wide` (decoder_fuse.py): natural cotangents are
+# folded to planes in-register (F=128+: one cheap pair fold, not the
+# f32 interleave), every conv runs dense + two full-lane edges (zero
+# FLOP overhead at F >= 128), both weight gradients accumulate
+# in-kernel, and the upsample transpose reuses the v2 adjoint helpers —
+# the dgrad conv emits dups ALREADY as the [E|O] planes
+# `_w_expand_adjoint` consumes.
+# ---------------------------------------------------------------------------
+
+from tpu_unet.kernels.decoder_fuse import (_col_arrays as _col_arrays2,
+                                           _conv_rows_wide, _pair_weights_eo)
+
+
+def _unpack_wgrad_eo(dkd, dkeo, dkee, k_shape):
+    """Exact adjoint of `_pair_weights_eo`: plane-paired weight cotangents
+    back to the natural (3, 3, C, F) tensor."""
+    fn = jax.linear_transpose(
+        _pair_weights_eo, jax.ShapeDtypeStruct(k_shape, dkd.dtype))
+    (dk,) = fn((dkd, dkeo, dkee))
+    return dk
+
+
+def _bwd_kernel_wide(T, E, win, Cs, Cx, F, H2, W, dt):
+    Cp = Cs + Cx
+
+    def kernel(hw, hsel, validx, skv, rv, we, wo,
+               k2fd, k2feo, k2fee, zf,
+               k1sd, k1seo, k1see, zs,
+               k1ud, k1ueo, k1uee, zu,
+               sk_p, sk_m, sk_n, x_l, x_m, x_h,
+               g_p, g_m, g_n, o_p, o_m, o_n, y_p, y_m, y_n,
+               dsk_ref, dxp_ref, dkd1_ref, dkeo1_ref, dkee1_ref,
+               dkd2_ref, dkeo2_ref, dkee2_ref, db_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = i * T
+
+        @pl.when((b == 0) & (i == 0))
+        def _():
+            dkd1_ref[...] = jnp.zeros_like(dkd1_ref)
+            dkeo1_ref[...] = jnp.zeros_like(dkeo1_ref)
+            dkee1_ref[...] = jnp.zeros_like(dkee1_ref)
+            dkd2_ref[...] = jnp.zeros_like(dkd2_ref)
+            dkeo2_ref[...] = jnp.zeros_like(dkeo2_ref)
+            dkee2_ref[...] = jnp.zeros_like(dkee2_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        def win3(p, m, n):
+            return jnp.concatenate([p[0], m[0], n[0]],
+                                   axis=0)[T - 2:2 * T + 2]
+
+        def fold(a, c):
+            # natural (R, W2, c) -> plane-paired (R, W, 2c)
+            return a.reshape(a.shape[0], W, 2 * c)
+
+        rva = rv[pl.ds(r0, T + 4)]
+        rvw = rva[:, None, :]
+        gw = fold(win3(g_p, g_m, g_n), F) * rvw
+        ow = fold(win3(o_p, o_m, o_n), F)
+        yw = win3(y_p, y_m, y_n) * rvw          # y1 saved paired already
+        g2 = jnp.where(ow.astype(jnp.float32) > 0.0, gw,
+                       jnp.zeros_like(gw))
+        dz1 = _conv_rows_wide(g2, T + 2, k2fd, k2feo, k2fee, zf, dt,
+                              relu=False)
+        dz1 = jnp.where(yw[1:T + 3].astype(jnp.float32) > 0.0, dz1,
+                        jnp.zeros_like(dz1))
+        dz1 = dz1 * rva[1:T + 3][:, None, :]
+
+        dsk_p = _conv_rows_wide(dz1, T, k1sd, k1seo, k1see, zs, dt,
+                                relu=False)     # (T, W, 2Cs) [E|O]
+        dE, dO = dsk_p[:, :, :Cs], dsk_p[:, :, Cs:]
+        st = jnp.concatenate([dE[:, :, None], dO[:, :, None]], axis=2)
+        dsk_ref[0] = st.reshape(T, 2 * W, Cs)
+
+        # dups comes out ALREADY in the [E|O] planes the W-adjoint wants
+        dup = _conv_rows_wide(dz1, T, k1ud, k1ueo, k1uee, zu, dt,
+                              relu=False)       # (T, W, 2Cx)
+        we3 = we[...].astype(jnp.float32)[None]
+        wo3 = wo[...].astype(jnp.float32)[None]
+        dh = _w_expand_adjoint(dup, we3, wo3, Cx, W)
+        dxw = _h_adjoint_rows(dh, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
+                              validx[pl.ds(r0, E)], T, win, W, Cx)
+        dxp_ref[0, 0] = dxw.reshape(win, W, Cx).astype(dt)
+
+        # ---- conv2 wgrads: src = y1 window, dout = g2 center rows ----
+        g2c = g2[2:T + 2]
+        gE, gO = g2c[:, :, :F], g2c[:, :, F:]
+        d_eo2 = _shift_cols_zero(gE, 1)
+        d_ee2 = _shift_cols_zero(gO, -1)
+        dkd2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T], g2c) for ky in (0, 1, 2)])
+        dkeo2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T, :, F:], d_eo2) for ky in (0, 1, 2)])
+        dkee2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T, :, :F], d_ee2) for ky in (0, 1, 2)])
+
+        # ---- recompute cc = [skE, upE, skO, upO] (forward's chain) ----
+        sk = win3(sk_p, sk_m, sk_n)
+        sk = sk * skv[pl.ds(r0, T + 4)][:, None, :]
+        skf = fold(sk, Cs)
+        xs = jnp.concatenate(
+            [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        h = _h_upsample_rows(xs, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
+                             r0, H2, E)
+        h = h * validx[pl.ds(r0, E)][:, None, :]
+        even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
+        cc = jnp.concatenate([skf[:, :, :Cs], even.astype(dt),
+                              skf[:, :, Cs:], odd.astype(dt)], axis=-1)
+
+        # ---- conv1 wgrads: src = cc, dout = dz1 center rows ----
+        dz1c = dz1[1:T + 1]
+        zE, zO = dz1c[:, :, :F], dz1c[:, :, F:]
+        d_eo1 = _shift_cols_zero(zE, 1)
+        d_ee1 = _shift_cols_zero(zO, -1)
+        dkd1_ref[...] += jnp.stack(
+            [_mmT(cc[1 + ky:1 + ky + T], dz1c) for ky in (0, 1, 2)])
+        dkeo1_ref[...] += jnp.stack(
+            [_mmT(cc[1 + ky:1 + ky + T, :, Cp:], d_eo1) for ky in (0, 1, 2)])
+        dkee1_ref[...] += jnp.stack(
+            [_mmT(cc[1 + ky:1 + ky + T, :, :Cp], d_ee1) for ky in (0, 1, 2)])
+
+        dbs = jnp.concatenate([
+            jnp.sum(dz1c.astype(jnp.float32), axis=(0, 1)).reshape(1, 2 * F),
+            jnp.sum(g2c.astype(jnp.float32), axis=(0, 1)).reshape(1, 2 * F),
+        ], axis=0)
+        db_ref[...] += jnp.pad(dbs, ((0, db_ref.shape[0] - 2), (0, 0)))
+
+    return kernel
+
+
+def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
+                               block_rows=None):
+    """Wide (F >= 128) backward for one decoder stage.
+
+    ``g``/``out``/``skip`` arrive NATURAL; ``y1p`` arrives plane-paired
+    (B, H2, W, 2F) as saved by the wide forward; ``x`` natural.  Returns
+    (dskip natural, dx natural, dk1, db1, dk2, db2) or None when the
+    stage isn't tileable."""
+    B, H2, W2, F = g.shape
+    Cp = k1.shape[2]
+    Cx = Cp - Cs
+    _, H, W, _ = x.shape
+    dt = g.dtype
+    ok = (F % 128 == 0 and Cs % 128 == 0 and Cx % 128 == 0
+          and W2 == 2 * W and W % 2 == 0)
+    if not ok:
+        return None
+    T = block_rows or (16 if H2 % 16 == 0 else 8)
+    if H2 % T or T < 8 or H % (T // 2):
+        return None
+    E = T + 4
+    win = T // 2 + 4
+
+    interpret = jax.default_backend() == "cpu"
+
+    hw, hsel, valid = _row_arrays(H)
+    we, wo = _col_arrays(W)
+    hw = np.repeat(hw, Cx, axis=1)
+    hsel = np.repeat(hsel, Cx, axis=1)
+    validx = np.repeat(valid, Cx, axis=1)
+    we = np.repeat(we, Cx, axis=1)
+    wo = np.repeat(wo, Cx, axis=1)
+    rs = np.arange(-2, H2 + 2)
+    inimg = ((rs >= 0) & (rs < H2)).astype(np.float32).reshape(-1, 1)
+    skv = np.repeat(inimg, Cs, axis=1)
+    rv = np.repeat(inimg, 2 * F, axis=1)
+
+    k2fd, k2feo, k2fee = _pair_weights_eo(_flip_t(k2).astype(dt))
+    k1f = _flip_t(k1).astype(dt)                     # (3, 3, F, Cp)
+    k1sd, k1seo, k1see = _pair_weights_eo(k1f[..., :Cs])
+    k1ud, k1ueo, k1uee = _pair_weights_eo(k1f[..., Cs:])
+    zf = jnp.zeros((2 * F,), dt)
+    zs = jnp.zeros((2 * Cs,), dt)
+    zu = jnp.zeros((2 * Cx,), dt)
+
+    nb = H2 // T - 1
+    nbx = H // (T // 2) - 1
+    nblk = H2 // T
+    grid = (B, nblk)
+
+    def blk3(c, paired_cols=False):
+        wdim = W if paired_cols else W2
+        return [
+            pl.BlockSpec((1, T, wdim, c),
+                         lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, wdim, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, wdim, c),
+                         lambda b, i: (b, jnp.minimum(i + 1, nb), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    x_specs = [
+        pl.BlockSpec((1, T // 2, W, Cx),
+                     lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T // 2, W, Cx),
+                     lambda b, i: (b, jnp.minimum(i + 1, nbx), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda b, i: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, H2, W2, Cs), dt),
+        jax.ShapeDtypeStruct((B, nblk, win, W, Cx), dt),
+        jax.ShapeDtypeStruct((3, 2 * Cp, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, Cp, F), jnp.float32),
+        jax.ShapeDtypeStruct((3, Cp, F), jnp.float32),
+        jax.ShapeDtypeStruct((3, 2 * F, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, F, F), jnp.float32),
+        jax.ShapeDtypeStruct((3, F, F), jnp.float32),
+        jax.ShapeDtypeStruct((8, 2 * F), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, T, W2, Cs), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, win, W, Cx), lambda b, i: (b, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((3, 2 * Cp, 2 * F)), const((3, Cp, F)), const((3, Cp, F)),
+        const((3, 2 * F, 2 * F)), const((3, F, F)), const((3, F, F)),
+        const((8, 2 * F)),
+    )
+
+    kernel = _bwd_kernel_wide(T, E, win, Cs, Cx, F, H2, W, dt)
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 19
+        + blk3(Cs) + x_specs + blk3(F) * 2 + blk3(2 * F, paired_cols=True),
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
+      jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),
+      jnp.asarray(rv).astype(dt),
+      jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
+      k2fd, k2feo, k2fee, zf, k1sd, k1seo, k1see, zs, k1ud, k1ueo, k1uee, zu,
+      skip, skip, skip, x, x, x, g, g, g, out, out, out, y1p, y1p, y1p)
+    (dsk, dxp, dkd1, dkeo1, dkee1, dkd2, dkeo2, dkee2, dbs) = res
+
+    half = T // 2
+    dx = dxp[:, :, 2:2 + half].reshape(B, H, W, Cx)
+    if nblk > 1:
+        zlo = jnp.concatenate(
+            [jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt),
+             dxp[:, 1:, 0:2]], axis=2).reshape(B, H - half, W, Cx)
+        dx = dx + jnp.pad(zlo, ((0, 0), (0, half), (0, 0), (0, 0)))
+        zhi = jnp.concatenate(
+            [dxp[:, :-1, 2 + half:4 + half],
+             jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt)],
+            axis=2).reshape(B, H - half, W, Cx)
+        dx = dx + jnp.pad(zhi, ((0, 0), (half, 0), (0, 0), (0, 0)))
+
+    dk1 = _unpack_wgrad_eo(dkd1, dkeo1, dkee1, (3, 3, Cp, F))
+    dk2 = _unpack_wgrad_eo(dkd2, dkeo2, dkee2, (3, 3, F, F))
+    db1 = dbs[0, :F] + dbs[0, F:]
+    db2 = dbs[1, :F] + dbs[1, F:]
+    return dsk, dx, dk1, db1, dk2, db2

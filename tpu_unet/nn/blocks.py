@@ -212,17 +212,21 @@ class UnetUp(nn.Module):
                 B, H2, Wh, Cs2 = skip.shape
                 skip = skip.reshape(B, H2, 2 * Wh, Cs2 // 2)
             if train:
-                # Training default: the plain XLA composition.  XLA's
-                # autodiff already saves cc/y1 (no remat), keeps layouts
-                # consistent end-to-end, and measured fastest on v5e at
-                # 512px/bs8: XLA 57.2 img/s vs kernel+saved-residual VJP
-                # 48.7 vs kernel+remat VJP 45.5 — the Pallas boundary
-                # relayouts in the backward graph eat the kernel's forward
-                # win.  TPU_UNET_FUSED_TRAIN=1 opts into the kernel path
-                # (switch lives in core/fusion.py with the others).
+                # Training defaults per stage family (v5e, 512px/bs8):
+                # - F >= 128 stages (up2/up3): the WIDE plane-paired
+                #   kernel pair (forward + one-pass backward with
+                #   in-kernel wgrads and upsample transpose) — on by
+                #   default with the paired training region.
+                # - F < 64 natural v1 kernel: still loses to XLA
+                #   autodiff (Pallas boundary relayouts); opt-in via
+                #   TPU_UNET_FUSED_TRAIN (core/fusion.py).
                 from tpu_unet.core import fusion
                 if fusion.use_fused_train():
                     return fused_unetup_train(skip, x, k1, b1, k2, b2)
+                if fusion.use_paired_train() and k1.shape[-1] >= 128:
+                    from tpu_unet.kernels.decoder_fuse import (
+                        fused_unetup_train_wide)
+                    return fused_unetup_train_wide(skip, x, k1, b1, k2, b2)
                 return reference_unetup(skip, x, k1, b1, k2, b2)
             return fused_unetup(skip, x, k1, b1, k2, b2)
 
