@@ -95,6 +95,23 @@ class VGG16(nn.Module):
             if si > start and not pooled_in_kernel:
                 x = max_pool2(x)
             pooled_in_kernel = False
+            if (self.fused_stem_train and si == 1
+                    and not self.is_initializing()):
+                # training block 2: one-pass fwd/bwd kernel pair
+                # (kernels/encoder_train.py) — the feat2 skip and its
+                # cotangent stay in Pallas layouts on both sides
+                from tpu_unet.kernels.encoder_train import (
+                    fused_vgg_block2_train)
+                from tpu_unet.nn.blocks import _ConvParams
+                k5, b5 = _ConvParams(128, 64, name="features_5")()
+                k7, b7 = _ConvParams(128, 128, name="features_7")()
+                dt = jnp.result_type(x.dtype, k5.dtype)
+                skip, x = fused_vgg_block2_train(
+                    x.astype(dt), k5.astype(dt), b5.astype(dt),
+                    k7.astype(dt), b7.astype(dt))
+                feats.append(skip)
+                pooled_in_kernel = True
+                continue
             if self.fused_blocks and si >= 1 and not self.is_initializing():
                 from tpu_unet.kernels.encoder import (fused_vgg_block_impl,
                                                       reference_vgg_block)
