@@ -182,3 +182,27 @@ def test_train_wide_vjp_matches_autodiff(shape):
         # summation order; compare on the normalized infinity norm
         rel = np.abs(b - a).max() / (np.abs(a).max() + 1e-12)
         assert rel < 2e-5, f"grad argnum {i}: rel {rel}"
+
+
+def test_train_wide_deep_stage_vjp():
+    """up4-like deep stage (H <= 32, Cp >= 1024 scaled down): the wide
+    train wrapper opts past the inference deep-gate; grads must stay
+    exact."""
+    from tpu_unet.kernels.decoder_fuse import fused_unetup_train_wide
+
+    # scaled-down up4 topology (Cp >= 1024 is impractical in interpret;
+    # the gate fires on H <= 32 which (1, 8, ...) satisfies via allow_deep)
+    args = _case(1, 8, 8, 128, 128, 128)
+
+    def loss_ref(*a):
+        return jnp.mean(reference_unetup(*a) ** 2)
+
+    def loss_fus(*a):
+        return jnp.mean(fused_unetup_train_wide(*a) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(2, 4))(*args)
+    g_fus = jax.grad(loss_fus, argnums=(2, 4))(*args)
+    for i, (a, b) in enumerate(zip(g_ref, g_fus)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(b - a).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 2e-5, f"grad {i}: rel {rel}"

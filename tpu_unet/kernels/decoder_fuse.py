@@ -458,7 +458,7 @@ def _pair_weights(k, Cs, F):
 
 def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
                            keep_paired=False, skip_paired=False,
-                           want_y1=False):
+                           want_y1=False, allow_deep=False):
     _, H, W, Cx = x.shape
     H2, W2 = 2 * H, 2 * W
     # a producer (the fused stem / encoder blocks) may hand the skip over
@@ -490,7 +490,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     if T % 2 or T < 8 or H2 % T:
         return None  # shapes this kernel can't tile; caller falls back
     from tpu_unet.core import fusion
-    if (not paired and H <= 32 and Cp >= 1024
+    if (not paired and H <= 32 and Cp >= 1024 and not allow_deep
             and not fusion.fuse_deep_stage()):
         # deepest stage (tiny spatial, heavy channels): XLA's native conv
         # pipeline wins — measured 0.89x on v5e at (32², 1024→512)
@@ -959,7 +959,7 @@ def fused_unetup_train_wide(skip, x, k1, b1, k2, b2):
     chain, both weight gradients, and the upsample transpose in-kernel.
     Gradients are exact vs the XLA composition (tests/test_decoder_train).
     """
-    out = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2)
+    out = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, allow_deep=True)
            if _wide_train_ok(skip, x, k1) else None)
     if out is None:
         return reference_unetup(skip, x, k1, b1, k2, b2)
@@ -967,7 +967,8 @@ def fused_unetup_train_wide(skip, x, k1, b1, k2, b2):
 
 
 def _wtrain_fwd(skip, x, k1, b1, k2, b2):
-    res = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, want_y1=True)
+    res = (_fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, want_y1=True,
+                                  allow_deep=True)
            if _wide_train_ok(skip, x, k1) else None)
     if res is None:
         return (reference_unetup(skip, x, k1, b1, k2, b2),
