@@ -259,7 +259,8 @@ def _conv_rows_wide(src, R, kd, keo, kee, bd, dt, relu=True):
 
 
 def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
-                 mxu_lerp=False, lerp_dt=jnp.float32, lead_off=0):
+                 mxu_lerp=False, lerp_dt=jnp.float32, lead_off=0,
+                 clamp3=False):
     """Plane-paired kernel for the F >= 128 decoder stages (up2/up3).
 
     The natural-layout kernel paid ~1.9 ms/step (stage 2, 512px bs8)
@@ -271,7 +272,11 @@ def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
     layout — measured 5.69 vs 7.12 ms on the stage-2 shape."""
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
                k1d, k1eo, k1ee, b1p, k2d, k2eo, k2ee, b2p,
-               sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref):
+               *rest):
+        if clamp3:
+            sk_a, sk_b, sk_c, x_l, x_m, x_h, out_ref, *y1_ref = rest
+        else:
+            sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref = rest
         i = pl.program_id(1)
         r0 = i * T
 
@@ -293,14 +298,22 @@ def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
             even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
             even = even.astype(dt)
             odd = odd.astype(dt)
-        sk = jnp.concatenate([sk_m[0, lead_off:], sk_h[0, :4 + lead_off]],
-                             axis=0)
-        if lead_off:
-            # prepadded producer buffer (P8): boundary blocks are
-            # uninitialized — where-select (NaN-safe) restores the
-            # zero padding the conv expects
+        if clamp3:
+            # three row-clamped blocks — no host pad; where-select
+            # (NaN-safe) restores the zero padding at the image edges
+            sk = jnp.concatenate([sk_a[0], sk_b[0], sk_c[0]],
+                                 axis=0)[T - 2:2 * T + 2]
             sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0, sk,
                            jnp.zeros_like(sk))
+        else:
+            sk = jnp.concatenate(
+                [sk_m[0, lead_off:], sk_h[0, :4 + lead_off]], axis=0)
+            if lead_off:
+                # prepadded producer buffer (P8): boundary blocks are
+                # uninitialized — where-select (NaN-safe) restores the
+                # zero padding the conv expects
+                sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0,
+                               sk, jnp.zeros_like(sk))
         skp = sk.reshape(E, W, 2 * Cs)
         cc = jnp.concatenate([skp[:, :, :Cs], even,
                               skp[:, :, Cs:], odd], axis=-1)
@@ -317,10 +330,14 @@ def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
 
 
 def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
-                   lead_off=0, mxu_lerp=False, lerp_dt=jnp.float32):
+                   lead_off=0, mxu_lerp=False, lerp_dt=jnp.float32,
+                   clamp3=False):
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
-               k1d, k1e, b1d, k2d, k2e, b2d,
-               sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref):
+               k1d, k1e, b1d, k2d, k2e, b2d, *rest):
+        if clamp3:
+            sk_a, sk_b, sk_c, x_l, x_m, x_h, out_ref, *y1_ref = rest
+        else:
+            sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref = rest
         i = pl.program_id(1)
         r0 = i * T
 
@@ -342,14 +359,20 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
             even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
         # paired channel order [skip-even, skip-odd, up-even, up-odd];
         # every operand is an offset-0 value (Mosaic concat constraint)
-        sk = jnp.concatenate([sk_m[0, lead_off:], sk_h[0, :4 + lead_off]],
-                             axis=0)
-        if lead_off:
-            # pre-padded producer buffer: the two boundary blocks are
-            # uninitialized — a where-select (NaN-safe) zeroes the
-            # out-of-image halo rows the conv must see as zero padding
+        if clamp3:
+            sk = jnp.concatenate([sk_a[0], sk_b[0], sk_c[0]],
+                                 axis=0)[T - 2:2 * T + 2]
             sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0, sk,
                            jnp.zeros_like(sk))
+        else:
+            sk = jnp.concatenate(
+                [sk_m[0, lead_off:], sk_h[0, :4 + lead_off]], axis=0)
+            if lead_off:
+                # pre-padded producer buffer: the two boundary blocks are
+                # uninitialized — a where-select (NaN-safe) zeroes the
+                # out-of-image halo rows the conv must see as zero padding
+                sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0,
+                               sk, jnp.zeros_like(sk))
         cc = jnp.concatenate([sk, even, odd], axis=-1)
 
         y1 = _conv_rows(cc, T + 2, k1d, k1e, b1d, dt)
@@ -362,10 +385,14 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
 
 
 def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
-                     mxu_lerp=False, lerp_dt=jnp.float32, lead_off=0):
+                     mxu_lerp=False, lerp_dt=jnp.float32, lead_off=0,
+                     clamp3=False):
     def kernel(hw, hsel, valid, valid1, skv, we, wo,
-               k1, b1, k2, b2,
-               sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref):
+               k1, b1, k2, b2, *rest):
+        if clamp3:
+            sk_a, sk_b, sk_c, x_l, x_m, x_h, out_ref, *y1_ref = rest
+        else:
+            sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref = rest
         i = pl.program_id(1)
         r0 = i * T
 
@@ -388,14 +415,20 @@ def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
         # interleave columns: ups[:, 2j] = even[:, j], ups[:, 2j+1] = odd[:, j]
         st = jnp.concatenate([even[:, :, None], odd[:, :, None]], axis=2)
         ups = st.reshape(E, 2 * even.shape[1], even.shape[2])
-        sk = jnp.concatenate([sk_m[0, lead_off:], sk_h[0, :4 + lead_off]],
-                             axis=0)
-        if lead_off:
-            # prepadded producer buffer (P8): boundary blocks are
-            # uninitialized — where-select (NaN-safe) restores the
-            # zero padding the conv expects
+        if clamp3:
+            sk = jnp.concatenate([sk_a[0], sk_b[0], sk_c[0]],
+                                 axis=0)[T - 2:2 * T + 2]
             sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0, sk,
                            jnp.zeros_like(sk))
+        else:
+            sk = jnp.concatenate(
+                [sk_m[0, lead_off:], sk_h[0, :4 + lead_off]], axis=0)
+            if lead_off:
+                # prepadded producer buffer (P8): boundary blocks are
+                # uninitialized — where-select (NaN-safe) restores the
+                # zero padding the conv expects
+                sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0,
+                               sk, jnp.zeros_like(sk))
         cc = jnp.concatenate([sk, ups], axis=-1)
 
         def conv3(src, R, k, bias):
@@ -544,12 +577,12 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     if skip_paired and not paired:
         rows = skip.shape[1]
         skip = skip.reshape(B, rows, W2, Cs)  # unpair for the unpaired kernel
-    # pad to exact block multiples so the (b, i+1) halo block exists for
-    # the last row-tile: skip -> (nT+1)*T rows, x -> (nT+1)*(T//2) rows
-    if use_prepad:
-        skip_p = skip  # already (nT+1)*T rows with an 8-row lead
-    else:
-        skip_p = jnp.pad(skip, ((0, 0), (2, T - 2), (0, 0), (0, 0)))
+    # Skip row windows: a P8-prepadded producer buffer is consumed
+    # directly (2-block window, 8-row lead); otherwise the window is
+    # read as three CLAMPED row blocks + a where-mask — no host pad
+    # (the old jnp.pad to (nT+1)*T rows cost ~0.8 ms/step at 512px).
+    clamp3 = not use_prepad
+    skip_p = skip
     # x needs no host pad: its row window [r0/2-2, r0/2+T/2+2) is read as
     # three CLAMPED (T/2)-row blocks (prev, main, next) — boundary
     # duplicates land only on positions whose lerp weight is exactly 0
@@ -573,7 +606,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
         kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1,
                                 lead_off=6 if use_prepad else 0,
-                                mxu_lerp=mxu_lerp, lerp_dt=lerp_dt)
+                                mxu_lerp=mxu_lerp, lerp_dt=lerp_dt,
+                                clamp3=clamp3)
         out_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
         out_spec = pl.BlockSpec((1, T, W, 2 * F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -587,7 +621,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         kernel = _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
                               want_y1=want_y1,
                               mxu_lerp=mxu_lerp, lerp_dt=lerp_dt,
-                              lead_off=6 if use_prepad else 0)
+                              lead_off=6 if use_prepad else 0,
+                              clamp3=clamp3)
         out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
         out_spec = pl.BlockSpec((1, T, W2, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -598,7 +633,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         kernel = _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
                                   want_y1, mxu_lerp=mxu_lerp,
                                   lerp_dt=lerp_dt,
-                                  lead_off=6 if use_prepad else 0)
+                                  lead_off=6 if use_prepad else 0,
+                                  clamp3=clamp3)
         out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
         out_spec = pl.BlockSpec((1, T, W2, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -630,12 +666,26 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
                          lambda b, i: (b, jnp.minimum(i + 1, nbx), 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-    data_specs = [
-        pl.BlockSpec((1, T, wsk, csk), lambda b, i: (b, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, T, wsk, csk), lambda b, i: (b, i + 1, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ] + x_specs
+    if clamp3:
+        nbsk = H2 // T - 1
+        sk_specs = [
+            pl.BlockSpec((1, T, wsk, csk),
+                         lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, wsk, csk), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, wsk, csk),
+                         lambda b, i: (b, jnp.minimum(i + 1, nbsk), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        sk_specs = [
+            pl.BlockSpec((1, T, wsk, csk), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, wsk, csk), lambda b, i: (b, i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    data_specs = sk_specs + x_specs
     if want_y1:
         if wide:  # the wide kernel's y1 residual is saved PAIRED [E|O]
             y1_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
@@ -666,7 +716,9 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         jnp.asarray(validx).astype(cdt), jnp.asarray(valid1).astype(dt),
         jnp.asarray(skv).astype(dt),
         jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
-        *weight_args, skip_p, skip_p, x_p, x_p, x_p)
+        *weight_args,
+        *((skip_p, skip_p, skip_p) if clamp3 else (skip_p, skip_p)),
+        x_p, x_p, x_p)
     if want_y1:
         out, y1 = out
     if paired and not keep_paired:
