@@ -191,9 +191,12 @@ def ce_dice_loss_grad(logits, target, cls_weights, num_classes: int,
             f"fused loss kernel supports num_classes <= 126 (int8 target "
             f"encoding with sentinel num_classes+1); got {num_classes}. "
             f"Use train/losses.py for more classes.")
+    # CPU has no Mosaic lowering — interpret mode keeps the kernel
+    # drivable under the virtual-device mesh tests
     return _ce_dice(logits, target,
                     tuple(np.asarray(cls_weights, np.float32).tolist()),
-                    num_classes, with_dice, interpret)
+                    num_classes, with_dice,
+                    interpret or jax.default_backend() == "cpu")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -552,9 +555,12 @@ def final_ce_dice_loss_grad(feats, kernel, bias, target, cls_weights,
         raise ValueError(
             f"fused loss kernel supports num_classes <= 126; got "
             f"{num_classes}. Use train/losses.py for more classes.")
+    # CPU has no Mosaic lowering — interpret mode keeps the kernel
+    # drivable under the virtual-device mesh tests
     return _final_ce_dice(feats, kernel, bias, target,
                           tuple(np.asarray(cls_weights, np.float32).tolist()),
-                          num_classes, with_dice, interpret)
+                          num_classes, with_dice,
+                          interpret or jax.default_backend() == "cpu")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
