@@ -8,6 +8,7 @@ extra ×2 up_conv for ResNet50.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from tpu_unet.models.backbones import VGG16, ResNet50
 from tpu_unet.nn.blocks import UnetUp, conv
@@ -77,10 +78,29 @@ class Unet(nn.Module):
                      name="up_concat1")(feat1, up2, train)
 
         if self.backbone == "resnet50" or self.force_up_conv:
-            # extra ×2 upsample head (reference: nets/unet.py:47-54)
-            up1 = upsample2x(up1)
-            up1 = nn.relu(conv(_OUT_FILTERS[0], 3, name="up_conv_1")(up1))
-            up1 = nn.relu(conv(_OUT_FILTERS[0], 3, name="up_conv_3")(up1))
+            # extra ×2 upsample head (reference: nets/unet.py:47-54).
+            # On TPU the whole head (upsample + both 64-ch convs, which
+            # XLA runs at half-filled MXU lanes at full resolution) is one
+            # paired Pallas pass (kernels/upconv.py); in training with the
+            # fused loss it emits the paired feature map directly.
+            from tpu_unet.nn.blocks import _ConvParams
+            cin = up1.shape[-1]
+            k1, b1 = _ConvParams(_OUT_FILTERS[0], cin, name="up_conv_1")()
+            k2, b2 = _ConvParams(_OUT_FILTERS[0], _OUT_FILTERS[0],
+                                 name="up_conv_3")()
+            dt = jnp.result_type(up1.dtype, k1.dtype)
+            a = (up1.astype(dt), k1.astype(dt), b1.astype(dt),
+                 k2.astype(dt), b2.astype(dt))
+            if fusion.use_fused_decoder() and not self.is_initializing():
+                from tpu_unet.kernels.upconv import (fused_upconv,
+                                                     fused_upconv_train)
+                if (train and self.features_out
+                        and fusion.use_paired_train()):
+                    return fused_upconv_train(*a)  # paired, for the loss
+                up1 = fused_upconv(*a)
+            else:
+                from tpu_unet.kernels.upconv import reference_upconv
+                up1 = reference_upconv(*a)
 
         if self.features_out and not self.is_initializing():
             return up1
