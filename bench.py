@@ -38,11 +38,13 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21,
     }
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    paired = on_tpu and model_name == "unet_vgg"
+    paired = on_tpu and model_name in ("unet_vgg", "unet_resnet50")
 
     from tpu_unet.models.unet import Unet
 
-    paired_model = Unet(num_classes=num_classes, backbone="vgg",
+    paired_model = Unet(num_classes=num_classes,
+                        backbone=("resnet50" if model_name == "unet_resnet50"
+                                  else "vgg"),
                         paired_head=True)
 
     @jax.jit

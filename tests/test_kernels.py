@@ -118,3 +118,33 @@ def test_paired_head_and_tail_match_standard_path():
     classes = np.arange(21)
     ref_hist = (ref_mask[..., None] == classes).sum(axis=(1, 2))
     np.testing.assert_array_equal(np.asarray(hist).astype(int), ref_hist)
+
+
+def test_paired_head_upconv_matches_standard_path():
+    """self_net/resnet-style paired head (fused up_conv head emitting
+    paired) + fused tail == standard logits argmax (the resnet50 serving
+    path bench.py drives)."""
+    from tpu_unet.core import fusion
+    from tpu_unet.kernels.postprocess import fused_final_argmax_hist_paired
+    from tpu_unet.models.registry import build_model, init_model
+    from tpu_unet.models.unet import Unet
+
+    model = build_model("self_net", 21)
+    variables = init_model(model, (32, 32))
+    pm = Unet(num_classes=21, backbone="vgg", force_up_conv=True,
+              paired_head=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3)
+                    .astype("float32"))
+
+    fusion.set_fused_decoder(True)
+    try:
+        ref_mask = np.asarray(
+            jnp.argmax(model.apply(variables, x, False), -1))
+        feats = pm.apply(variables, x, False)
+        assert feats.shape == (1, 64, 32, 128), feats.shape
+        masks, hist = fused_final_argmax_hist_paired(
+            feats, variables["params"]["final"]["kernel"],
+            variables["params"]["final"]["bias"], 21, interpret=True)
+    finally:
+        fusion.set_fused_decoder(None)
+    np.testing.assert_array_equal(np.asarray(masks), ref_mask)

@@ -93,10 +93,15 @@ class Unet(nn.Module):
                  k2.astype(dt), b2.astype(dt))
             if fusion.use_fused_decoder() and not self.is_initializing():
                 from tpu_unet.kernels.upconv import (fused_upconv,
+                                                     fused_upconv_paired,
                                                      fused_upconv_train)
                 if (train and self.features_out
                         and fusion.use_paired_train()):
                     return fused_upconv_train(*a)  # paired, for the loss
+                if self.paired_head:
+                    # paired serving head: the fused final+argmax tail
+                    # (kernels/postprocess.py) consumes this directly
+                    return fused_upconv_paired(*a)
                 up1 = fused_upconv(*a)
             else:
                 from tpu_unet.kernels.upconv import reference_upconv
