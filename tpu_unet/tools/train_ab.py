@@ -1,6 +1,7 @@
-"""One-process round-3 measurement sweep (amortizes tunnel compiles).
+"""One-process train-step A/B sweep: fused-kernel region vs pure XLA,
+per flagship model.  One process amortizes the (slow, tunneled) compiles.
 
-Usage: python tools_round3_measure.py [quick]
+Usage: python -m tpu_unet.tools.train_ab [quick]
 Prints one JSON line per measurement.
 """
 import json
