@@ -66,3 +66,52 @@ def test_fused_loss_bf16_logits():
         x, target, cw, 21, interpret=True)[0])(lb)
     assert g.dtype == jnp.bfloat16 and bool(jnp.all(jnp.isfinite(
         g.astype(jnp.float32))))
+
+
+def test_fused_focal_dice_matches_jnp():
+    """Focal mode: loss and gradient must match focal_loss + dice_loss
+    from train/losses.py (the competition recipe)."""
+    from tpu_unet.kernels.loss import ce_dice_loss_grad
+    from tpu_unet.train.losses import dice_loss, focal_loss
+
+    rng = np.random.RandomState(9)
+    n, h, w, c = 2, 16, 16, 4
+    logits = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32) * 2)
+    target = jnp.asarray(rng.randint(0, c + 1, (n, h, w)).astype(np.int32))
+    onehot = jax.nn.one_hot(target, c + 1, dtype=jnp.float32)
+    cw = (1.0, 1.3, 0.7, 1.1)
+
+    def ref(lg):
+        return (focal_loss(lg, target, cw, c)
+                + dice_loss(lg, onehot))
+
+    def fus(lg):
+        return ce_dice_loss_grad(lg, target, cw, c, with_dice=True,
+                                 interpret=True, use_focal=True)[0]
+
+    l_ref, g_ref = jax.value_and_grad(ref)(logits)
+    l_fus, g_fus = jax.value_and_grad(fus)(logits)
+    np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_fused_focal_only_matches_jnp():
+    from tpu_unet.kernels.loss import ce_dice_loss_grad
+    from tpu_unet.train.losses import focal_loss
+
+    rng = np.random.RandomState(10)
+    n, h, w, c = 1, 16, 16, 21
+    logits = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    target = jnp.asarray(rng.randint(0, c + 1, (n, h, w)).astype(np.int32))
+    cw = tuple([1.0] * c)
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda lg: focal_loss(lg, target, cw, c))(logits)
+    l_fus, g_fus = jax.value_and_grad(
+        lambda lg: ce_dice_loss_grad(lg, target, cw, c, with_dice=False,
+                                     interpret=True, use_focal=True)[0]
+    )(logits)
+    np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-6)

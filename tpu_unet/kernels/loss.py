@@ -40,10 +40,13 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _reduce_body(x, t, w_row, c, nc_pad, threshold):
+def _reduce_body(x, t, w_row, c, nc_pad, threshold, focal=False,
+                 alpha=0.5, gamma=2.0):
     """Shared reduce math: f32 logits block (B, C) + int target (B, 1) →
     the (6, nc_pad) accumulation row (wnll/w, tp, psum, tsum, tp@th,
-    pos@th)."""
+    pos@th).  With ``focal`` the first slot carries the focal sum
+    Σ α·(1−pt)^γ·wnll instead (reference: nets/unet_training.py:21-36;
+    pt = exp(−weighted-nll), mean over ALL pixels incl. ignored)."""
     logp = jax.nn.log_softmax(x, axis=-1)
     probs = jnp.exp(logp)
     ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -59,8 +62,15 @@ def _reduce_body(x, t, w_row, c, nc_pad, threshold):
     def cpad(v):  # (1, C) → (1, nc_pad)
         return jnp.pad(v, ((0, 0), (0, nc_pad - v.shape[-1])))
 
-    scal = jnp.concatenate([jnp.sum(w_pix * nll).reshape(1, 1),
-                            jnp.sum(w_pix).reshape(1, 1)], axis=1)
+    if focal:
+        u = w_pix * nll                               # per-pixel wnll
+        ptf = jnp.exp(-u)
+        term = alpha * (1.0 - ptf) ** gamma * u       # 0 where u == 0
+        scal = jnp.concatenate([jnp.sum(term).reshape(1, 1),
+                                jnp.sum(w_pix).reshape(1, 1)], axis=1)
+    else:
+        scal = jnp.concatenate([jnp.sum(w_pix * nll).reshape(1, 1),
+                                jnp.sum(w_pix).reshape(1, 1)], axis=1)
     return jnp.concatenate([
         cpad(scal),                                               # wnll,w
         cpad(jnp.sum(probs * onehot, axis=0, keepdims=True)),     # tp
@@ -71,15 +81,28 @@ def _reduce_body(x, t, w_row, c, nc_pad, threshold):
     ], axis=0)                                                    # (6,·)
 
 
-def _grad_body(x, t, w_row, coefA, coefB, inv_sw, c):
+def _grad_body(x, t, w_row, coefA, coefB, inv_sw, c, focal=False,
+               alpha=0.5, gamma=2.0):
     """Shared gradient math: f32 logits block → f32 dlogits block."""
-    probs = jax.nn.softmax(x, axis=-1)
+    logp = jax.nn.log_softmax(x, axis=-1)
+    probs = jnp.exp(logp)
     ci = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     onehot = (ci == t).astype(jnp.float32)
     valid = (t < c).astype(jnp.float32)
     w_pix = jnp.sum(onehot * w_row, axis=-1, keepdims=True) * valid
 
-    g_ce = w_pix * (probs - onehot) * inv_sw
+    if focal:
+        # L_px = α(1−pt)^γ·u with u = weighted nll, pt = e^{−u};
+        # dL/du = α[(1−pt)^γ + γ·u·pt·(1−pt)^{γ−1}], du/dlogits =
+        # w_pix·(probs − onehot); inv_sw carries gl / N_pixels
+        u = w_pix * -jnp.sum(logp * onehot, axis=-1, keepdims=True)
+        ptf = jnp.exp(-u)
+        base = jnp.maximum(1.0 - ptf, 1e-12)
+        fac = alpha * (base ** gamma
+                       + gamma * u * ptf * base ** (gamma - 1.0))
+        g_ce = fac * w_pix * (probs - onehot) * inv_sw
+    else:
+        g_ce = w_pix * (probs - onehot) * inv_sw
 
     # dice: dL/dprobs[p,c] = A_c * onehot + B_c; through softmax:
     # dlogits = probs * (dLdp - sum_c dLdp * probs)
@@ -93,7 +116,8 @@ def _grad_body(x, t, w_row, coefA, coefB, inv_sw, c):
     return (g_ce + g_dice) * real
 
 
-def _reduce_kernel(c, nc_pad, threshold):
+def _reduce_kernel(c, nc_pad, threshold, focal=False, alpha=0.5,
+                   gamma=2.0):
     def kernel(logits_ref, tgt_ref, w_ref, out_ref):
         i = pl.program_id(0)
 
@@ -103,18 +127,19 @@ def _reduce_kernel(c, nc_pad, threshold):
 
         x = logits_ref[...].astype(jnp.float32)          # (B, C)
         t = tgt_ref[...].astype(jnp.int32)                # (B, 1) int8
-        out_ref[...] += _reduce_body(x, t, w_ref[...], c, nc_pad, threshold)
+        out_ref[...] += _reduce_body(x, t, w_ref[...], c, nc_pad,
+                                     threshold, focal, alpha, gamma)
 
     return kernel
 
 
-def _grad_kernel(c, dt):
+def _grad_kernel(c, dt, focal=False, alpha=0.5, gamma=2.0):
     def kernel(logits_ref, tgt_ref, w_ref, coefA_ref, coefB_ref,
                scal_ref, dlog_ref):
         x = logits_ref[...].astype(jnp.float32)
         t = tgt_ref[...].astype(jnp.int32)
         dlog = _grad_body(x, t, w_ref[...], coefA_ref[...], coefB_ref[...],
-                          scal_ref[0, 0], c)
+                          scal_ref[0, 0], c, focal, alpha, gamma)
         dlog_ref[...] = dlog.astype(dt)
 
     return kernel
@@ -139,13 +164,14 @@ def _flatten(logits, target):
 
 
 def _reductions(logits, target, cls_weights, num_classes,
-                threshold=0.5, interpret=False):
+                threshold=0.5, interpret=False, focal=False,
+                alpha=0.5, gamma=2.0):
     c = num_classes
     nc_pad = max(_round_up(c, 128), 128)
     flat, tgt, rows = _flatten(logits, target)
     w = jnp.asarray(cls_weights, jnp.float32).reshape(1, c)
     out = pl.pallas_call(
-        _reduce_kernel(c, nc_pad, threshold),
+        _reduce_kernel(c, nc_pad, threshold, focal, alpha, gamma),
         out_shape=jax.ShapeDtypeStruct((6, nc_pad), jnp.float32),
         grid=(flat.shape[0] // _BLOCK,),
         in_specs=[
@@ -177,10 +203,15 @@ def _dice_pieces(tp, psum, tsum, beta=1.0, smooth=1e-5):
 
 
 def ce_dice_loss_grad(logits, target, cls_weights, num_classes: int,
-                      with_dice: bool = True, interpret: bool = False):
-    """Fused (CE + dice) loss with custom gradient; also returns f_score.
+                      with_dice: bool = True, interpret: bool = False,
+                      use_focal: bool = False, alpha: float = 0.5,
+                      gamma: float = 2.0):
+    """Fused (CE-or-focal + dice) loss with custom gradient; also returns
+    f_score.
 
-    Equivalent to ``ce_loss(...) + dice_loss(...)`` and ``f_score(...)``
+    Equivalent to ``ce_loss(...) + dice_loss(...)`` (or, with
+    ``use_focal``, ``focal_loss(...) + dice_loss(...)`` — the competition
+    recipe, reference nets/unet_training.py:21-36) and ``f_score(...)``
     from train/losses.py for same-resolution logits, without ever
     materializing softmax/one-hot tensors in HBM.
     """
@@ -196,21 +227,29 @@ def ce_dice_loss_grad(logits, target, cls_weights, num_classes: int,
     return _ce_dice(logits, target,
                     tuple(np.asarray(cls_weights, np.float32).tolist()),
                     num_classes, with_dice,
-                    interpret or jax.default_backend() == "cpu")
+                    interpret or jax.default_backend() == "cpu",
+                    use_focal, float(alpha), float(gamma))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _ce_dice(logits, target, cls_weights, num_classes, with_dice, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _ce_dice(logits, target, cls_weights, num_classes, with_dice, interpret,
+             focal, alpha, gamma):
     loss, fs, _ = _fwd_impl(logits, target, cls_weights, num_classes,
-                            with_dice, interpret)
+                            with_dice, interpret, focal, alpha, gamma)
     return loss, fs
 
 
-def _fwd_impl(logits, target, cls_weights, num_classes, with_dice, interpret):
+def _fwd_impl(logits, target, cls_weights, num_classes, with_dice, interpret,
+              focal=False, alpha=0.5, gamma=2.0):
     c = num_classes
     s_wnll, s_w, tp, psum, tsum, tpt, ptsum = _reductions(
-        logits, target, cls_weights, c, interpret=interpret)
-    loss_ce = s_wnll / jnp.maximum(s_w, 1e-12)
+        logits, target, cls_weights, c, interpret=interpret, focal=focal,
+        alpha=alpha, gamma=gamma)
+    if focal:
+        n, h, wd, _ = logits.shape
+        loss_ce = s_wnll / float(n * h * wd)
+    else:
+        loss_ce = s_wnll / jnp.maximum(s_w, 1e-12)
     score, fp, fn, denom = _dice_pieces(tp, psum, tsum)
     loss_dice = (1.0 - jnp.mean(score)) if with_dice else 0.0
     # f_score (threshold 0.5)
@@ -221,9 +260,9 @@ def _fwd_impl(logits, target, cls_weights, num_classes, with_dice, interpret):
 
 
 def _vjp_fwd(logits, target, cls_weights, num_classes, with_dice,
-             interpret):
+             interpret, focal, alpha, gamma):
     loss, fs, resid = _fwd_impl(logits, target, cls_weights, num_classes,
-                                with_dice, interpret)
+                                with_dice, interpret, focal, alpha, gamma)
     return (loss, fs), (logits, target, resid)
 
 
@@ -249,7 +288,8 @@ def _dice_coefs(score, denom, c, gl, with_dice):
     return A, B
 
 
-def _vjp_bwd(cls_weights, num_classes, with_dice, interpret, res, g):
+def _vjp_bwd(cls_weights, num_classes, with_dice, interpret, focal, alpha,
+             gamma, res, g):
     logits, target, (s_w, tp, fp, fn, denom, score) = res
     gl, _ = g  # f_score is treated as a metric (no gradient)
     c = num_classes
@@ -259,8 +299,13 @@ def _vjp_bwd(cls_weights, num_classes, with_dice, interpret, res, g):
     flat, tgt, rows = _flatten(logits, target)
     w = jnp.asarray(cls_weights, jnp.float32).reshape(1, nc)
     dt = logits.dtype
+    if focal:
+        n, h, wd, _ = logits.shape
+        inv = gl / float(n * h * wd)
+    else:
+        inv = gl / jnp.maximum(s_w, 1e-12)
     dlog = pl.pallas_call(
-        _grad_kernel(nc, dt),
+        _grad_kernel(nc, dt, focal, alpha, gamma),
         out_shape=jax.ShapeDtypeStruct((flat.shape[0], nc), dt),
         grid=(flat.shape[0] // _BLOCK,),
         in_specs=[
@@ -279,7 +324,7 @@ def _vjp_bwd(cls_weights, num_classes, with_dice, interpret, res, g):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(flat, tgt, w, A.reshape(1, nc), B.reshape(1, nc),
-      (gl / jnp.maximum(s_w, 1e-12)).reshape(1, 1))
+      jnp.asarray(inv, jnp.float32).reshape(1, 1))
     n, h, wd, _ = logits.shape
     dlog = dlog[:rows].reshape(n, h, wd, nc)
     return dlog, None

@@ -143,11 +143,12 @@ def _total_loss(outputs, target, onehot, cfg: StepConfig):
 
 def make_train_step(model, cfg: StepConfig) -> Callable:
     """Returns jitted (state, batch, lr, dropout_key) → (state, metrics)."""
-    # The fused Pallas loss covers the standard CE(+dice) single-output
-    # recipe; focal / deep-supervision / resized-logits cases use the jnp
-    # path.  Profiled at 512px/bs8: the jnp loss pipeline (3 softmaxes, an
-    # f32 one-hot megatensor, autodiff backward) costs ~16 ms/step.
-    fused_loss_ok = not cfg.use_focal and not cfg.aux_weights
+    # The fused Pallas loss covers the CE(+dice) AND focal(+dice)
+    # single-output recipes; deep-supervision / resized-logits cases use
+    # the jnp path.  Profiled at 512px/bs8: the jnp loss pipeline (3
+    # softmaxes, an f32 one-hot megatensor, autodiff backward) costs
+    # ~16 ms/step.
+    fused_loss_ok = not cfg.aux_weights
 
     # Canonical UNets additionally fuse the final 1×1 conv INTO the loss
     # kernels (kernels/loss.py::final_ce_dice_loss_grad): the model emits
@@ -183,7 +184,7 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
                 else outputs
             loss, fs = ce_dice_loss_grad(
                 out, target, cfg.cls_weights, cfg.num_classes,
-                with_dice=cfg.use_dice)
+                with_dice=cfg.use_dice, use_focal=cfg.use_focal)
             return loss, (mut["batch_stats"], fs)
 
         def fused_final_loss_fn(params):
@@ -208,7 +209,10 @@ def make_train_step(model, cfg: StepConfig) -> Callable:
                          model, state, imgs, target, cfg, dropout_key))
         fn = loss_fn
         if use_fused:
-            fn = (fused_final_loss_fn if feat_model is not None
+            # the final-conv-fused variant implements CE(+dice) only;
+            # focal recipes run the logit-level fused kernel
+            fn = (fused_final_loss_fn
+                  if feat_model is not None and not cfg.use_focal
                   else fused_loss_fn)
         (loss, (new_stats, fs)), grads = jax.value_and_grad(
             fn, has_aux=True)(state.params)
