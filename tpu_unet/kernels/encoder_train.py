@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -40,21 +39,33 @@ from tpu_unet.kernels.encoder import reference_vgg_block
 _T = 8
 
 
+def _row_valid(i, H, n):
+    """(n, 1, 1) bool mask for global rows i*T-2 .. i*T+n-3 (an iota-based
+    mask: the host-array + in-kernel ``[:, None, :]`` reshape variant hits
+    Mosaic's unsupported-shape-cast at <128 lanes, e.g. C=64)."""
+    lr = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    gr = i * _T - 2 + lr
+    return (gr >= 0) & (gr < H)
+
+
 def _make_block2_fwd(W, C, F, H, dt, lane_roll):
     T = _T
 
-    def kernel(rvx, rvf, k5d, k5e, b5p, k7d, k7eo, k7ee, b7p,
+    def kernel(k5d, k5e, b5p, k7d, k7eo, k7ee, b7p,
                x_p, x_m, x_n, skip_ref, pool_ref, *a5_ref):
         i = pl.program_id(1)
+        v4 = _row_valid(i, H, T + 4)
 
         def win3(p, m, n):
             return jnp.concatenate([p[0], m[0], n[0]],
                                    axis=0)[T - 2:2 * T + 2]
 
-        xw = win3(x_p, x_m, x_n) * rvx[pl.ds(i * T, T + 4)][:, None, :]
-        xp = xw.reshape(T + 4, W, 2 * C)
+        # x arrives PRE-PAIRED (W, 2C) — the sublane→lane pair fold is an
+        # XLA reshape at the boundary (Mosaic rejects the in-kernel shape
+        # cast at 64 lanes)
+        xp = jnp.where(v4, win3(x_p, x_m, x_n), 0)
         a5 = _conv_rows(xp, T + 2, k5d, k5e, b5p, dt)      # (T+2, W, 2F)
-        a5 = a5 * rvf[pl.ds(i * T, T + 4)][1:T + 3][:, None, :]
+        a5 = jnp.where(v4[1:T + 3], a5, 0)
         if a5_ref:  # training residual, saved PAIRED [E|O]
             a5_ref[0][0] = a5[1:T + 1]
         y7 = _conv_rows_wide(a5, T, k7d, k7eo, k7ee, b7p, dt)
@@ -66,12 +77,6 @@ def _make_block2_fwd(W, C, F, H, dt, lane_roll):
         pool_ref[0] = jnp.max(m.reshape(T // 2, 2, W, F), axis=1).astype(dt)
 
     return kernel
-
-
-def _rows_valid(H, lanes):
-    rs = np.arange(-2, H + 2)
-    v = ((rs >= 0) & (rs < H)).astype(np.float32).reshape(-1, 1)
-    return np.repeat(v, lanes, axis=1)
 
 
 def _lane_roll_fn(interpret):
@@ -99,19 +104,19 @@ def fused_vgg_block2_fwd_impl(x, k5, b5, k7, b7, want_a5=False):
     b5p = jnp.concatenate([b5, b5]).astype(dt)
     k7d, k7eo, k7ee = _pair_weights_eo(k7.astype(dt))
     b7p = jnp.concatenate([b7, b7]).astype(dt)
-    rvx = _rows_valid(H, C)
-    rvf = _rows_valid(H, 2 * F)
+    xp = x.reshape(B, H, W, 2 * C)          # pair fold in XLA
 
     kernel = _make_block2_fwd(W, C, F, H, dt, _lane_roll_fn(interpret))
 
-    def blk3(c):
+    def blk3(c, cols=None):
+        wdim = cols or W2
         return [
-            pl.BlockSpec((1, T, W2, c),
+            pl.BlockSpec((1, T, wdim, c),
                          lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, W2, c), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, T, wdim, c), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, W2, c),
+            pl.BlockSpec((1, T, wdim, c),
                          lambda b, i: (b, jnp.minimum(i + 1, nb - 1), 0, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -135,14 +140,14 @@ def fused_vgg_block2_fwd_impl(x, k5, b5, k7, b7, want_a5=False):
         kernel,
         out_shape=tuple(out_shapes),
         grid=(B, nb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + blk3(C),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        + blk3(2 * C, cols=W),
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(rvx).astype(dt), jnp.asarray(rvf).astype(dt),
-      k5d, k5e, b5p, k7d, k7eo, k7ee, b7p, x, x, x)
+    )(k5d, k5e, b5p, k7d, k7eo, k7ee, b7p, xp, xp, xp)
     return res if want_a5 else (res[0], res[1])
 
 
@@ -150,7 +155,7 @@ def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
     T = _T
     F2 = 2 * F
 
-    def kernel(rvx, rvf, k7fd, k7feo, k7fee, zf, k5fd, k5fe, zc,
+    def kernel(k7fd, k7feo, k7fee, zf, k5fd, k5fe, zc,
                x_p, x_m, x_n,
                ds_p, ds_m, ds_n, y_p, y_m, y_n, a_p, a_m, a_n,
                dp_p, dp_m, dp_n,
@@ -158,7 +163,7 @@ def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
                db_ref):
         b = pl.program_id(0)
         i = pl.program_id(1)
-        r0 = i * T
+
 
         @pl.when((b == 0) & (i == 0))
         def _():
@@ -173,10 +178,10 @@ def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
             return jnp.concatenate([p[0], m[0], n[0]],
                                    axis=0)[T - 2:2 * T + 2]
 
-        rvw = rvf[pl.ds(r0, T + 4)][:, None, :]
-        dsw = win3(ds_p, ds_m, ds_n).reshape(T + 4, W, F2) * rvw
-        yw = win3(y_p, y_m, y_n).reshape(T + 4, W, F2) * rvw
-        aw = win3(a_p, a_m, a_n) * rvw           # a5 saved paired already
+        v4 = _row_valid(i, H, T + 4)
+        dsw = jnp.where(v4, win3(ds_p, ds_m, ds_n).reshape(T + 4, W, F2), 0)
+        yw = jnp.where(v4, win3(y_p, y_m, y_n).reshape(T + 4, W, F2), 0)
+        aw = jnp.where(v4, win3(a_p, a_m, a_n), 0)  # a5 saved paired already
 
         # ---- maxpool backward: first-max routing, recomputed from y7 ----
         dp4 = jnp.concatenate([dp_p[0], dp_m[0], dp_n[0]],
@@ -203,7 +208,7 @@ def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
         dpool_feat = jnp.concatenate(
             [de[:, None], do[:, None]], axis=1).reshape(T + 4, W, F2)
 
-        dfeat = (dsw.astype(jnp.float32) + dpool_feat) * rvw
+        dfeat = jnp.where(v4, dsw.astype(jnp.float32) + dpool_feat, 0.0)
         dz7 = jnp.where(yw.astype(jnp.float32) > 0.0, dfeat,
                         jnp.zeros_like(dfeat)).astype(dt)   # (T+4, W, 2F)
 
@@ -211,12 +216,11 @@ def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
                               relu=False)
         dz5 = jnp.where(aw[1:T + 3].astype(jnp.float32) > 0.0, da5,
                         jnp.zeros_like(da5))
-        dz5 = dz5 * rvf[pl.ds(r0, T + 4)][1:T + 3][:, None, :]
+        dz5 = jnp.where(v4[1:T + 3], dz5, 0)
 
-        dx_p = _conv_rows(dz5, T, k5fd, k5fe, zc, dt, relu=False)
-        xE, xO = dx_p[:, :, :C], dx_p[:, :, C:]
-        st = jnp.concatenate([xE[:, :, None], xO[:, :, None]], axis=2)
-        dx_ref[0] = st.reshape(T, 2 * W, C)
+        # dx leaves PAIRED (W, 2C); the lane→sublane unfold is an XLA
+        # reshape at the boundary
+        dx_ref[0] = _conv_rows(dz5, T, k5fd, k5fe, zc, dt, relu=False)
 
         # ---- conv7 wgrads: src = a5 window, dout = dz7 center ----
         dz7c = dz7[2:T + 2]
@@ -230,9 +234,8 @@ def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
         dkee7_ref[...] += jnp.stack(
             [_mmT(aw[1 + ky:1 + ky + T, :, :F], d_ee7) for ky in (0, 1, 2)])
 
-        # ---- conv5 wgrads: src = x window (folded), dout = dz5 center ----
-        xw = win3(x_p, x_m, x_n) * rvx[pl.ds(r0, T + 4)][:, None, :]
-        xp = xw.reshape(T + 4, W, 2 * C)
+        # ---- conv5 wgrads: src = x window (pre-paired), dout = dz5 ----
+        xp = jnp.where(v4, win3(x_p, x_m, x_n), 0)
         dz5c = dz5[1:T + 1]
         sh5 = _edge_cotangent(dz5c)
         dkd5_ref[...] += jnp.stack(
@@ -249,12 +252,13 @@ def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
     return kernel
 
 
-def fused_vgg_block2_bwd_impl(dskip, dpool, y7, a5p, x, k5, k7):
-    """One-pass block-2 backward.  ``dskip``/``y7``/``x`` natural;
-    ``a5p`` paired (B, H, W2/2, 2F); ``dpool`` natural (B, H/2, W2/2, F).
-    Returns (dx natural, dk5, db5, dk7, db7) or None."""
+def fused_vgg_block2_bwd_impl(dskip, dpool, y7, a5p, xp, k5, k7):
+    """One-pass block-2 backward.  ``dskip``/``y7`` natural; ``xp`` and
+    ``a5p`` paired (B, H, W2/2, 2C|2F); ``dpool`` natural
+    (B, H/2, W2/2, F).  Returns (dx natural, dk5, db5, dk7, db7) or
+    None."""
     B, H, W2, F = y7.shape
-    C = x.shape[-1]
+    C = xp.shape[-1] // 2
     dt = y7.dtype
     T = _T
     if H % (2 * T) or W2 % 2 or F % 128 or C % 2:
@@ -268,8 +272,6 @@ def fused_vgg_block2_bwd_impl(dskip, dpool, y7, a5p, x, k5, k7):
     k5f = _flip_t(k5).astype(dt)                 # (3, 3, F, C)
     k5fd, k5fe = _pair_weights(k5f, F, C)
     zc = jnp.zeros((2 * C,), dt)
-    rvx = _rows_valid(H, C)
-    rvf = _rows_valid(H, 2 * F)
 
     kernel = _block2_bwd_kernel(W, C, F, H, dt, _lane_roll_fn(interpret),
                                 nb)
@@ -306,7 +308,7 @@ def fused_vgg_block2_bwd_impl(dskip, dpool, y7, a5p, x, k5, k7):
                             memory_space=pltpu.VMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((B, H, W2, C), dt),
+        jax.ShapeDtypeStruct((B, H, W, 2 * C), dt),
         jax.ShapeDtypeStruct((3, 2 * C, 2 * F), jnp.float32),
         jax.ShapeDtypeStruct((3, 2 * C, 2 * F), jnp.float32),
         jax.ShapeDtypeStruct((3, 2 * F, 2 * F), jnp.float32),
@@ -315,7 +317,7 @@ def fused_vgg_block2_bwd_impl(dskip, dpool, y7, a5p, x, k5, k7):
         jax.ShapeDtypeStruct((8, 2 * F), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((1, T, W2, C), lambda b, i: (b, i, 0, 0),
+        pl.BlockSpec((1, T, W, 2 * C), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
         const((3, 2 * C, 2 * F)), const((3, 2 * C, 2 * F)),
         const((3, 2 * F, 2 * F)), const((3, F, F)), const((3, F, F)),
@@ -326,18 +328,19 @@ def fused_vgg_block2_bwd_impl(dskip, dpool, y7, a5p, x, k5, k7):
         kernel,
         out_shape=out_shapes,
         grid=(B, nb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
-        + blk3(C) + blk3(F) * 2 + blk3(2 * F, cols=W) + pool_specs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        + blk3(2 * C, cols=W) + blk3(F) * 2 + blk3(2 * F, cols=W)
+        + pool_specs,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(rvx).astype(dt), jnp.asarray(rvf).astype(dt),
-      k7fd, k7feo, k7fee, zf, k5fd, k5fe, zc,
-      x, x, x, dskip, dskip, dskip, y7, y7, y7, a5p, a5p, a5p,
+    )(k7fd, k7feo, k7fee, zf, k5fd, k5fe, zc,
+      xp, xp, xp, dskip, dskip, dskip, y7, y7, y7, a5p, a5p, a5p,
       dpool, dpool, dpool)
-    dx, dkd5, dke5, dkd7, dkeo7, dkee7, dbs = res
+    dxp, dkd5, dke5, dkd7, dkeo7, dkee7, dbs = res
+    dx = dxp.reshape(B, H, W2, C)            # lane→sublane unfold in XLA
 
     dk5 = _unpair_wgrad(dkd5, dke5, (3, 3, C, F), C, F)
     dk7 = _unpack_wgrad_eo(dkd7, dkeo7, dkee7, (3, 3, F, F))
@@ -377,27 +380,23 @@ def _b2_fwd(x, k5, b5, k7, b7):
         out = reference_vgg_block(x, [k5, k7], [b5, b7], pool=True)
         return out, (x, k5, b5, k7, b7, None, None)
     skip, pooled, a5p = res
-    return (skip, pooled), (x, k5, b5, k7, b7, skip, a5p)
+    B, H, W2, C = x.shape
+    xp = x.reshape(B, H, W2 // 2, 2 * C)   # CSE'd with fwd_impl's fold
+    return (skip, pooled), (xp, k5, b5, k7, b7, skip, a5p)
 
 
 def _b2_bwd(res, g):
-    x, k5, b5, k7, b7, y7, a5p = res
+    xp, k5, b5, k7, b7, y7, a5p = res
     dskip, dpool = g
     if y7 is None:
+        # fallback residual: xp slot holds x natural
         _, vjp = jax.vjp(
             lambda xx, a, c, d, e: reference_vgg_block(
-                xx, [a, d], [c, e], pool=True), x, k5, b5, k7, b7)
+                xx, [a, d], [c, e], pool=True), xp, k5, b5, k7, b7)
         return vjp(g)
-    bwd = fused_vgg_block2_bwd_impl(dskip.astype(y7.dtype),
-                                    dpool.astype(y7.dtype),
-                                    y7, a5p, x, k5, k7)
-    if bwd is None:
-        _, vjp = jax.vjp(
-            lambda xx, a, c, d, e: reference_vgg_block(
-                xx, [a, d], [c, e], pool=True), x, k5, b5, k7, b7)
-        return vjp(g)
-    dx, dk5, db5, dk7, db7 = bwd
-    return (dx.astype(x.dtype), dk5.astype(k5.dtype), db5.astype(b5.dtype),
+    dx, dk5, db5, dk7, db7 = fused_vgg_block2_bwd_impl(
+        dskip.astype(y7.dtype), dpool.astype(y7.dtype), y7, a5p, xp, k5, k7)
+    return (dx.astype(xp.dtype), dk5.astype(k5.dtype), db5.astype(b5.dtype),
             dk7.astype(k7.dtype), db7.astype(b7.dtype))
 
 
