@@ -95,22 +95,47 @@ class VGG16(nn.Module):
             if si > start and not pooled_in_kernel:
                 x = max_pool2(x)
             pooled_in_kernel = False
-            if (self.fused_stem_train and si == 1
+            if (self.fused_stem_train and si >= 1
                     and not self.is_initializing()):
-                # training block 2: one-pass fwd/bwd kernel pair
-                # (kernels/encoder_train.py) — the feat2 skip and its
-                # cotangent stay in Pallas layouts on both sides
-                from tpu_unet.kernels.encoder_train import (
-                    fused_vgg_block2_train)
                 from tpu_unet.nn.blocks import _ConvParams
-                k5, b5 = _ConvParams(128, 64, name="features_5")()
-                k7, b7 = _ConvParams(128, 128, name="features_7")()
-                dt = jnp.result_type(x.dtype, k5.dtype)
-                skip, x = fused_vgg_block2_train(
-                    x.astype(dt), k5.astype(dt), b5.astype(dt),
-                    k7.astype(dt), b7.astype(dt))
+                if si == 1:
+                    # training block 2: one-pass fwd/bwd kernel pair
+                    # (kernels/encoder_train.py) — the feat2 skip and its
+                    # cotangent stay in Pallas layouts on both sides
+                    from tpu_unet.kernels.encoder_train import (
+                        fused_vgg_block2_train)
+                    k5, b5 = _ConvParams(128, 64, name="features_5")()
+                    k7, b7 = _ConvParams(128, 128, name="features_7")()
+                    dt = jnp.result_type(x.dtype, k5.dtype)
+                    skip, x = fused_vgg_block2_train(
+                        x.astype(dt), k5.astype(dt), b5.astype(dt),
+                        k7.astype(dt), b7.astype(dt))
+                    feats.append(skip)
+                    pooled_in_kernel = True
+                    continue
+                # training blocks 3-5: natural-layout one-pass fwd/bwd
+                # kernel pair (kernels/encoder3_train.py)
+                from tpu_unet.kernels.encoder3_train import (
+                    fused_vgg_block3_train)
+                cin = x.shape[-1]
+                ks, bs = [], []
+                for ci in stage:
+                    k, b = _ConvParams(widths[ci], cin,
+                                       name=f"features_{ci}")()
+                    ks.append(k)
+                    bs.append(b)
+                    cin = widths[ci]
+                dt = jnp.result_type(x.dtype, ks[0].dtype)
+                want_pool = si < n_stages - 1
+                skip, nxt = fused_vgg_block3_train(
+                    x.astype(dt), [k.astype(dt) for k in ks],
+                    [b.astype(dt) for b in bs], pool=want_pool)
                 feats.append(skip)
-                pooled_in_kernel = True
+                if nxt is not None:
+                    x = nxt
+                    pooled_in_kernel = True
+                else:
+                    x = skip
                 continue
             if self.fused_blocks and si >= 1 and not self.is_initializing():
                 from tpu_unet.kernels.encoder import (fused_vgg_block_impl,
