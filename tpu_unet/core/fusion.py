@@ -11,6 +11,7 @@ switch                      env var                  default
 :func:`use_fused_train`     ``TPU_UNET_FUSED_TRAIN``    off (XLA autodiff wins)
 :func:`use_paired_train`    ``TPU_UNET_PAIRED_TRAIN``   on for TPU backends
 :func:`fuse_deep_stage`     ``TPU_UNET_FUSE_DEEP``      off (XLA wins, 0.89x)
+:func:`use_lowres_up`       ``TPU_UNET_LOWRES_UP``      on for TPU backends
 ==========================  =======================  =========================
 
 Defaults encode v5e measurements: the fused inference decoder and loss win
@@ -42,6 +43,7 @@ _overrides: dict[str, bool | None] = {
     "train": None,
     "paired_train": None,
     "deep": None,
+    "lowres_up": None,
 }
 
 
@@ -108,3 +110,13 @@ def use_paired_train() -> bool:
 
 def fuse_deep_stage() -> bool:
     return _switch("deep", "TPU_UNET_FUSE_DEEP", False)
+
+
+def set_lowres_up(on: bool | None) -> None:
+    """Force the low-res up-half conv1 decomposition in the wide decoder
+    kernel on/off (``None`` restores auto)."""
+    _overrides["lowres_up"] = on
+
+
+def use_lowres_up() -> bool:
+    return _switch("lowres_up", "TPU_UNET_LOWRES_UP", _on_tpu())

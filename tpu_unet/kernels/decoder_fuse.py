@@ -80,6 +80,41 @@ def _col_arrays(W: int):
             w[1::2].reshape(-1, 1).astype(np.float32))
 
 
+@functools.lru_cache(maxsize=None)
+def _lowres_col_coeffs(W: int, F: int):
+    """(8, W, F) per-column coefficients for the LOW-RES up-half of
+    conv1 (`_wide_kernel_lowres`).
+
+    The ×2 W-lerp's per-column scalars commute with the channel
+    contraction, so conv1's up contribution can be computed as
+    per-(ky, kx) matmuls P_k = h @ k_up[ky, kx] and recombined per
+    output column pair j from P_k[j-1], P_k[j], P_k[j+1]:
+
+      even_out[j] = kx0·odd[j-1] + kx1·even[j] + kx2·odd[j]
+                  = a0·P0[j-1] + b0·P0[j] + c1·P1[j-1] + d1·P1[j]
+                    + e0·P2[j] + f0·P2[j+1]
+      odd_out[j]  = kx0·even[j] + kx1·odd[j] + kx2·even[j+1]
+                  = c1·P0[j-1] + d1·P0[j] + e0·P1[j] + f0·P1[j+1]
+                    + e2·P2[j] + f2·P2[j+1]
+
+    with even[j] = (1-we_j)h[j-1∨0] + we_j·h[j] and odd[j] =
+    (1-wo_j)h[j] + wo_j·h[j+1∧W-1] (`_w_expand_pair`).  Boundary
+    folding: odd[-1] / even[W] are out-of-image columns (zero); the
+    j=0 lerp clamp becomes (c1, d1)[0] = (0, 1); wo[W-1] = 0 already
+    encodes the right-edge clamp."""
+    we, wo = (c.ravel() for c in _col_arrays(W))
+    a0 = np.concatenate([[0.0], 1.0 - wo[:-1]])
+    b0 = np.concatenate([[0.0], wo[:-1]])
+    c1 = np.where(np.arange(W) == 0, 0.0, 1.0 - we)
+    d1 = np.where(np.arange(W) == 0, 1.0, we)
+    e0 = 1.0 - wo
+    f0 = wo
+    e2 = np.concatenate([1.0 - we[1:], [0.0]])
+    f2 = np.concatenate([we[1:], [0.0]])
+    cols = np.stack([a0, b0, c1, d1, e0, f0, e2, f2]).astype(np.float32)
+    return np.repeat(cols.reshape(8, W, 1), F, axis=2)
+
+
 def _pick_tile(H2: int, W: int, c_total: int, itemsize: int,
                cx: int = 0) -> int:
     """Output-row tile size.  The halo-block pipeline needs T >= 8 and
@@ -238,11 +273,10 @@ def _pair_weights_eo(k):
     return kd, kx0, kx2
 
 
-def _conv_rows_wide(src, R, kd, keo, kee, bd, dt, relu=True):
-    """One plane-paired 3x3 conv for F >= 128: dense per-ky matmuls plus
-    two separate full-lane edge matmuls.  src is (R+2, W, 2C) in
-    [E-plane | O-plane] channel order; output (R, W, 2F) = [even | odd]
-    output columns per pair (the standard paired layout)."""
+def _conv_rows_wide_acc(src, R, kd, keo, kee):
+    """`_conv_rows_wide` without the bias/activation epilogue: the raw
+    f32 accumulator, so a caller can sum several conv contributions
+    (skip-part + low-res up-part) before rounding to the compute dtype."""
     C2 = src.shape[-1]
     C = C2 // 2
     acc = _mm(src[0:R], kd[0])
@@ -254,6 +288,15 @@ def _conv_rows_wide(src, R, kd, keo, kee, bd, dt, relu=True):
         ee += _mm(src[ky:ky + R, :, :C], kee[ky])
     acc += jnp.concatenate([_shift_cols_zero(eo, -1),
                             _shift_cols_zero(ee, 1)], axis=-1)
+    return acc
+
+
+def _conv_rows_wide(src, R, kd, keo, kee, bd, dt, relu=True):
+    """One plane-paired 3x3 conv for F >= 128: dense per-ky matmuls plus
+    two separate full-lane edge matmuls.  src is (R+2, W, 2C) in
+    [E-plane | O-plane] channel order; output (R, W, 2F) = [even | odd]
+    output columns per pair (the standard paired layout)."""
+    acc = _conv_rows_wide_acc(src, R, kd, keo, kee)
     out = acc.astype(dt) + bd[...][None, :]
     return jax.nn.relu(out) if relu else out
 
@@ -318,6 +361,81 @@ def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
         cc = jnp.concatenate([skp[:, :, :Cs], even,
                               skp[:, :, Cs:], odd], axis=-1)
         y1 = _conv_rows_wide(cc, T + 2, k1d, k1eo, k1ee, b1p, dt)
+        y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
+        if want_y1:  # training residual, saved PAIRED [E|O]
+            y1_ref[0][0] = y1[1:T + 1]
+        outp = _conv_rows_wide(y1, T, k2d, k2eo, k2ee, b2p, dt)
+        oE, oO = outp[:, :, :F], outp[:, :, F:]
+        st = jnp.concatenate([oE[:, :, None], oO[:, :, None]], axis=2)
+        out_ref[0] = st.reshape(T, 2 * W, F)
+
+    return kernel
+
+
+def _wide_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
+                        lead_off=0, clamp3=False):
+    """`_wide_kernel` with the LOW-RES up-half of conv1: instead of
+    materialising the ×2-upsampled map and contracting it at full
+    resolution, the per-(ky, kx) channel contractions run on the RAW
+    low-res x window (one (Cx → 3F) matmul per ky over win rows — ~45%
+    of the rows), the W-lerp is applied to the F-lane partials via the
+    host-precomputed `_lowres_col_coeffs`, and the H-lerp runs on the
+    2F-lane combined terms.  Per-row/per-column lerp scalars commute
+    with the channel contraction, so the result is exact (same math,
+    reassociated).  Cuts conv1's up-half MACs ~3.6× — ~30% of the
+    stage's total FLOPs at the production shapes (Cx = 2·Cs = 2F)."""
+    def kernel(hwu, hselu, validu, valid1, skv, colc,
+               k1sd, k1seo, k1see, kup, b1p, k2d, k2eo, k2ee, b2p,
+               *rest):
+        if clamp3:
+            sk_a, sk_b, sk_c, x_l, x_m, x_h, out_ref, *y1_ref = rest
+        else:
+            sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref = rest
+        i = pl.program_id(1)
+        r0 = i * T
+
+        xs = jnp.concatenate(
+            [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+
+        # ---- up-half of conv1 at LOW-RES rows ----
+        cc8 = [colc[k][None] for k in range(8)]
+        a0, b0, c1, d1, e0, f0, e2, f2 = cc8
+        hwv = hwu[pl.ds(r0, E)]
+        hsv = hselu[pl.ds(r0, E)]
+        vv = validu[pl.ds(r0, E)][:, None, :]
+        acc_up = None
+        for ky in range(3):
+            p = _mm(xs, kup[ky])                       # (win, W, 3F) f32
+            p0, p1, p2 = p[:, :, :F], p[:, :, F:2 * F], p[:, :, 2 * F:]
+            s0m = _shift_cols_zero(p0, -1)
+            s1m = _shift_cols_zero(p1, -1)
+            s1p = _shift_cols_zero(p1, 1)
+            s2p = _shift_cols_zero(p2, 1)
+            ue = (a0 * s0m + b0 * p0 + c1 * s1m + d1 * p1
+                  + e0 * p2 + f0 * s2p)
+            uo = (c1 * s0m + d1 * p0 + e0 * p1 + f0 * s1p
+                  + e2 * p2 + f2 * s2p)
+            u = jnp.concatenate([ue, uo], axis=-1)     # (win, W, 2F) f32
+            q = _h_upsample_rows(u, hwv, hsv, r0, H2, E) * vv
+            acc_up = (q[ky:ky + T + 2] if acc_up is None
+                      else acc_up + q[ky:ky + T + 2])
+
+        # ---- skip-half of conv1 (plane-paired dense + edges) ----
+        if clamp3:
+            sk = jnp.concatenate([sk_a[0], sk_b[0], sk_c[0]],
+                                 axis=0)[T - 2:2 * T + 2]
+            sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0, sk,
+                           jnp.zeros_like(sk))
+        else:
+            sk = jnp.concatenate(
+                [sk_m[0, lead_off:], sk_h[0, :4 + lead_off]], axis=0)
+            if lead_off:
+                sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0,
+                               sk, jnp.zeros_like(sk))
+        skp = sk.reshape(E, W, 2 * Cs)
+        acc_sk = _conv_rows_wide_acc(skp, T + 2, k1sd, k1seo, k1see)
+
+        y1 = jax.nn.relu((acc_sk + acc_up).astype(dt) + b1p[...][None, :])
         y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
         if want_y1:  # training residual, saved PAIRED [E|O]
             y1_ref[0][0] = y1[1:T + 1]
@@ -534,6 +652,9 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # f32 cc buffer — that relayout profiled ~1.9 ms/step on stage 2)
     wide = (not paired and F % 128 == 0
             and Cs % 128 == 0 and Cx % 128 == 0 and W % 2 == 0)
+    # low-res up-half of conv1 (`_wide_kernel_lowres`): cuts ~30% of the
+    # stage FLOPs by contracting the up channels at the un-upsampled rows
+    lowres = wide and fusion.use_lowres_up()
 
     hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
@@ -549,7 +670,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # the 2D x-window block needs (T//2) % 8 == 0 (Mosaic sublane tiling);
     # the paired stage measured faster with the VPU chain (its f32 2D
     # intermediates crowd the T=16 pipeline), the unpaired stage with MXU
-    mxu_lerp = Cx % 128 == 0 and (T // 2) % 8 == 0 and not paired
+    mxu_lerp = (Cx % 128 == 0 and (T // 2) % 8 == 0 and not paired
+                and not lowres)
     # experiment switch: carry the MXU-lerp output + W-expansion in the
     # compute dtype instead of f32 (halves the VMEM traffic of the lerp
     # chain; only meaningful for bf16 runs — f32 runs are unchanged)
@@ -561,9 +683,11 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         we = np.repeat(we.ravel(), Cx).reshape(1, W * Cx)
         wo = np.repeat(wo.ravel(), Cx).reshape(1, W * Cx)
     else:
-        hw = np.repeat(hw, Cx, axis=1)
-        hsel = np.repeat(hsel, Cx, axis=1)
-        validx = np.repeat(valid, Cx, axis=1)
+        # lowres H-lerps the 2F-lane combined terms, not the Cx-lane x
+        lanes = 2 * F if lowres else Cx
+        hw = np.repeat(hw, lanes, axis=1)
+        hsel = np.repeat(hsel, lanes, axis=1)
+        validx = np.repeat(valid, lanes, axis=1)
         we = np.repeat(we, Cx, axis=1)
         wo = np.repeat(wo, Cx, axis=1)
 
@@ -594,7 +718,20 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
                     2 * Cs if paired else Cs, axis=1)
 
     grid = (B, H2 // T)
-    coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+    cdt = jnp.float32 if mxu_lerp else dt
+    if lowres:
+        coef_args = [
+            jnp.asarray(hw).astype(cdt), jnp.asarray(hsel).astype(cdt),
+            jnp.asarray(validx).astype(cdt),
+            jnp.asarray(valid1).astype(dt), jnp.asarray(skv).astype(dt),
+            jnp.asarray(_lowres_col_coeffs(W, F)).astype(dt)]
+    else:
+        coef_args = [
+            jnp.asarray(hw).astype(cdt), jnp.asarray(hsel).astype(cdt),
+            jnp.asarray(validx).astype(cdt),
+            jnp.asarray(valid1).astype(dt), jnp.asarray(skv).astype(dt),
+            jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt)]
+    coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(coef_args)
 
     if paired:
         if not skip_paired:
@@ -613,16 +750,30 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
                                 memory_space=pltpu.VMEM)
         wsk, csk = W, 2 * Cs
     elif wide:
-        k1d, k1eo, k1ee = _pair_weights_eo(k1.astype(dt))
         k2d, k2eo, k2ee = _pair_weights_eo(k2.astype(dt))
         b1p = jnp.concatenate([b1, b1]).astype(dt)
         b2p = jnp.concatenate([b2, b2]).astype(dt)
-        weight_args = (k1d, k1eo, k1ee, b1p, k2d, k2eo, k2ee, b2p)
-        kernel = _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
-                              want_y1=want_y1,
-                              mxu_lerp=mxu_lerp, lerp_dt=lerp_dt,
-                              lead_off=6 if use_prepad else 0,
-                              clamp3=clamp3)
+        if lowres:
+            k1s = k1[:, :, :Cs, :].astype(dt)
+            k1u = k1[:, :, Cs:, :].astype(dt)
+            k1sd, k1seo, k1see = _pair_weights_eo(k1s)
+            kup = jnp.stack([
+                jnp.concatenate([k1u[ky, 0], k1u[ky, 1], k1u[ky, 2]],
+                                axis=-1) for ky in range(3)])
+            weight_args = (k1sd, k1seo, k1see, kup, b1p,
+                           k2d, k2eo, k2ee, b2p)
+            kernel = _wide_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt,
+                                         want_y1=want_y1,
+                                         lead_off=6 if use_prepad else 0,
+                                         clamp3=clamp3)
+        else:
+            k1d, k1eo, k1ee = _pair_weights_eo(k1.astype(dt))
+            weight_args = (k1d, k1eo, k1ee, b1p, k2d, k2eo, k2ee, b2p)
+            kernel = _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
+                                  want_y1=want_y1,
+                                  mxu_lerp=mxu_lerp, lerp_dt=lerp_dt,
+                                  lead_off=6 if use_prepad else 0,
+                                  clamp3=clamp3)
         out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
         out_spec = pl.BlockSpec((1, T, W2, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -710,12 +861,8 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )
-    cdt = jnp.float32 if mxu_lerp else dt
     out = out_call(
-        jnp.asarray(hw).astype(cdt), jnp.asarray(hsel).astype(cdt),
-        jnp.asarray(validx).astype(cdt), jnp.asarray(valid1).astype(dt),
-        jnp.asarray(skv).astype(dt),
-        jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
+        *coef_args,
         *weight_args,
         *((skip_p, skip_p, skip_p) if clamp3 else (skip_p, skip_p)),
         x_p, x_p, x_p)
