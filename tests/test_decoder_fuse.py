@@ -155,3 +155,31 @@ def test_wide_lowres_up_matches_reference(shape):
     ref = reference_unetup(skip, x, k1, b1, k2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 8, 8, 64, 128, 64),     # up1-like (paired path, F < 128)
+    (2, 8, 6, 64, 128, 64),
+])
+def test_paired_lowres_up_matches_reference(shape):
+    """The paired low-res variant (_paired_kernel_lowres, duplicated
+    [kx|kx] weight blocks + lane-blocked coefficients) must match the
+    XLA reference exactly."""
+    from tpu_unet.core import fusion
+
+    B, H, W, Cs, Cx, F = shape
+    skip = jnp.asarray(RNG.randn(B, 2 * H, 2 * W, Cs).astype(np.float32))
+    x = jnp.asarray(RNG.randn(B, H, W, Cx).astype(np.float32))
+    k1 = jnp.asarray((RNG.randn(3, 3, Cs + Cx, F) * 0.05).astype(np.float32))
+    b1 = jnp.asarray((RNG.randn(F) * 0.1).astype(np.float32))
+    k2 = jnp.asarray((RNG.randn(3, 3, F, F) * 0.05).astype(np.float32))
+    b2 = jnp.asarray((RNG.randn(F) * 0.1).astype(np.float32))
+    fusion.set_lowres_up(True)
+    try:
+        out = _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2)
+    finally:
+        fusion.set_lowres_up(None)
+    assert out is not None
+    ref = reference_unetup(skip, x, k1, b1, k2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

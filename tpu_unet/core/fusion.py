@@ -44,6 +44,7 @@ _overrides: dict[str, bool | None] = {
     "paired_train": None,
     "deep": None,
     "lowres_up": None,
+    "lowres_up_paired": None,
 }
 
 
@@ -120,3 +121,19 @@ def set_lowres_up(on: bool | None) -> None:
 
 def use_lowres_up() -> bool:
     return _switch("lowres_up", "TPU_UNET_LOWRES_UP", _on_tpu())
+
+
+def set_lowres_up_paired(on: bool | None) -> None:
+    """Force the paired (F < 128) low-res variant on/off."""
+    _overrides["lowres_up_paired"] = on
+
+
+def use_lowres_up_paired() -> bool:
+    # default follows the main lowres switch; separate env for A/B
+    if _overrides["lowres_up_paired"] is not None:
+        return _overrides["lowres_up_paired"]
+    import os
+    val = os.environ.get("TPU_UNET_LOWRES_UP_PAIRED")
+    if val is not None:
+        return val.lower() not in _TRUTHY_OFF
+    return use_lowres_up()

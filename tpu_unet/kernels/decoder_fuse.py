@@ -115,6 +115,33 @@ def _lowres_col_coeffs(W: int, F: int):
     return np.repeat(cols.reshape(8, W, 1), F, axis=2)
 
 
+@functools.lru_cache(maxsize=None)
+def _lowres_col_coeffs_paired(W: int, F: int):
+    """(7, W, 2F) lane-blocked coefficients for the PAIRED low-res
+    up-half (F < 128).  The products are computed against duplicated
+    weight blocks [kx|kx] so each P̂_k is already 2F = 128 lanes, and
+    the even/odd output terms combine as lane-blocked coefficient pairs
+    — no sub-128-lane slicing anywhere:
+
+      u = [a0|c1]·s(P̂0,-1) + [b0|d1]·P̂0 + [c1|0]·s(P̂1,-1)
+          + [d1|e0]·P̂1 + [0|f0]·s(P̂1,+1) + [e0|e2]·P̂2 + [f0|f2]·s(P̂2,+1)
+
+    (same scalars as `_lowres_col_coeffs`)."""
+    c = _lowres_col_coeffs(W, 1)[:, :, 0]        # (8, W) scalars
+    a0, b0, c1, d1, e0, f0, e2, f2 = c
+    z = np.zeros_like(a0)
+
+    def blk(lo, hi):
+        col = np.concatenate([np.repeat(lo.reshape(-1, 1), F, axis=1),
+                              np.repeat(hi.reshape(-1, 1), F, axis=1)],
+                             axis=1)
+        return col
+
+    cols = np.stack([blk(a0, c1), blk(b0, d1), blk(c1, z), blk(d1, e0),
+                     blk(z, f0), blk(e0, e2), blk(f0, f2)])
+    return cols.astype(np.float32)               # (7, W, 2F)
+
+
 def _pick_tile(H2: int, W: int, c_total: int, itemsize: int,
                cx: int = 0) -> int:
     """Output-row tile size.  The halo-block pipeline needs T >= 8 and
@@ -226,6 +253,21 @@ def _mm(a, k):
     return out.reshape(r, w, k.shape[1])
 
 
+def _conv_rows_acc(src, R, kd, ke):
+    """`_conv_rows` without the bias/activation epilogue (raw f32 acc),
+    so a caller can sum several conv contributions before rounding."""
+    res = _mm(src[0:R], ke[0])
+    for ky in (1, 2):
+        res += _mm(src[ky:ky + R], ke[ky])
+    F2 = res.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, res.shape, 2)
+    acc = jnp.where(lane < F2 // 2,
+                    _shift_cols_zero(res, -1), _shift_cols_zero(res, 1))
+    for ky in (0, 1, 2):
+        acc += _mm(src[ky:ky + R], kd[ky])
+    return acc
+
+
 def _conv_rows(src, R, kd, ke, bd, dt, relu=True):
     """One paired 3x3 conv: dense per-ky matmuls plus ONE combined
     cross-pair edge matmul.  src is (R+2, W, C) in paired channel
@@ -239,15 +281,7 @@ def _conv_rows(src, R, kd, ke, bd, dt, relu=True):
     capped the whole conv at 50% efficiency.  Column shifts commute with
     per-position matmuls, so the halves are split afterwards with two
     sublane shifts of the f32 result and a lane-select."""
-    res = _mm(src[0:R], ke[0])
-    for ky in (1, 2):
-        res += _mm(src[ky:ky + R], ke[ky])
-    F2 = res.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, res.shape, 2)
-    acc = jnp.where(lane < F2 // 2,
-                    _shift_cols_zero(res, -1), _shift_cols_zero(res, 1))
-    for ky in (0, 1, 2):
-        acc += _mm(src[ky:ky + R], kd[ky])
+    acc = _conv_rows_acc(src, R, kd, ke)
     out = acc.astype(dt) + bd[...][None, :]
     return jax.nn.relu(out) if relu else out
 
@@ -502,6 +536,69 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
     return kernel
 
 
+def _paired_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
+                          lead_off=0, clamp3=False):
+    """`_paired_kernel` with the LOW-RES up-half of conv1 (F < 128).
+
+    Same commutation as `_wide_kernel_lowres`, but the per-(ky, kx)
+    products are computed against DUPLICATED weight blocks [kx|kx] so
+    each P̂_k is already 2F = 128 lanes, and the even/odd output terms
+    combine through the 7 lane-blocked coefficient maps of
+    `_lowres_col_coeffs_paired` — no sub-128-lane slicing anywhere."""
+    def kernel(hwu, hselu, validu, valid1, skv, colc,
+               k1sd, k1se, kup, b1d, k2d, k2e, b2d, *rest):
+        if clamp3:
+            sk_a, sk_b, sk_c, x_l, x_m, x_h, out_ref, *y1_ref = rest
+        else:
+            sk_m, sk_h, x_l, x_m, x_h, out_ref, *y1_ref = rest
+        i = pl.program_id(1)
+        r0 = i * T
+        F2 = 2 * F
+
+        xs = jnp.concatenate(
+            [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        cc7 = [colc[k][None] for k in range(7)]
+        hwv = hwu[pl.ds(r0, E)]
+        hsv = hselu[pl.ds(r0, E)]
+        vv = validu[pl.ds(r0, E)][:, None, :]
+        acc_up = None
+        for ky in range(3):
+            p = _mm(xs, kup[ky])                   # (win, W, 3·2F) f32
+            p0 = p[:, :, :F2]
+            p1 = p[:, :, F2:2 * F2]
+            p2 = p[:, :, 2 * F2:]
+            s0m = _shift_cols_zero(p0, -1)
+            s1m = _shift_cols_zero(p1, -1)
+            s1p = _shift_cols_zero(p1, 1)
+            s2p = _shift_cols_zero(p2, 1)
+            u = (cc7[0] * s0m + cc7[1] * p0 + cc7[2] * s1m + cc7[3] * p1
+                 + cc7[4] * s1p + cc7[5] * p2 + cc7[6] * s2p)
+            q = _h_upsample_rows(u, hwv, hsv, r0, H2, E) * vv
+            acc_up = (q[ky:ky + T + 2] if acc_up is None
+                      else acc_up + q[ky:ky + T + 2])
+
+        if clamp3:
+            sk = jnp.concatenate([sk_a[0], sk_b[0], sk_c[0]],
+                                 axis=0)[T - 2:2 * T + 2]
+            sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0, sk,
+                           jnp.zeros_like(sk))
+        else:
+            sk = jnp.concatenate(
+                [sk_m[0, lead_off:], sk_h[0, :4 + lead_off]], axis=0)
+            if lead_off:
+                sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0,
+                               sk, jnp.zeros_like(sk))
+        acc_sk = _conv_rows_acc(sk, T + 2, k1sd, k1se)
+
+        y1 = jax.nn.relu((acc_sk + acc_up).astype(dt) + b1d[...][None, :])
+        y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
+        if want_y1:  # training residual: the post-relu conv1 activation
+            y1_ref[0][0] = y1[1:T + 1]
+        out_ref[0] = _conv_rows(y1, T, k2d, k2e, b2d, dt)
+
+    return kernel
+
+
 def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
                      mxu_lerp=False, lerp_dt=jnp.float32, lead_off=0,
                      clamp3=False):
@@ -652,9 +749,12 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # f32 cc buffer — that relayout profiled ~1.9 ms/step on stage 2)
     wide = (not paired and F % 128 == 0
             and Cs % 128 == 0 and Cx % 128 == 0 and W % 2 == 0)
-    # low-res up-half of conv1 (`_wide_kernel_lowres`): cuts ~30% of the
-    # stage FLOPs by contracting the up channels at the un-upsampled rows
+    # low-res up-half of conv1 (`_wide_kernel_lowres` /
+    # `_paired_kernel_lowres`): cuts ~30% of the stage FLOPs by
+    # contracting the up channels at the un-upsampled rows
     lowres = wide and fusion.use_lowres_up()
+    lowres_p = (paired and fusion.use_lowres_up_paired()
+                and (2 * F) % 128 == 0 and Cx % 128 == 0)
 
     hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
@@ -684,7 +784,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         wo = np.repeat(wo.ravel(), Cx).reshape(1, W * Cx)
     else:
         # lowres H-lerps the 2F-lane combined terms, not the Cx-lane x
-        lanes = 2 * F if lowres else Cx
+        lanes = 2 * F if (lowres or lowres_p) else Cx
         hw = np.repeat(hw, lanes, axis=1)
         hsel = np.repeat(hsel, lanes, axis=1)
         validx = np.repeat(valid, lanes, axis=1)
@@ -719,12 +819,14 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
 
     grid = (B, H2 // T)
     cdt = jnp.float32 if mxu_lerp else dt
-    if lowres:
+    if lowres or lowres_p:
+        colc = (_lowres_col_coeffs_paired(W, F) if lowres_p
+                else _lowres_col_coeffs(W, F))
         coef_args = [
             jnp.asarray(hw).astype(cdt), jnp.asarray(hsel).astype(cdt),
             jnp.asarray(validx).astype(cdt),
             jnp.asarray(valid1).astype(dt), jnp.asarray(skv).astype(dt),
-            jnp.asarray(_lowres_col_coeffs(W, F)).astype(dt)]
+            jnp.asarray(colc).astype(dt)]
     else:
         coef_args = [
             jnp.asarray(hw).astype(cdt), jnp.asarray(hsel).astype(cdt),
@@ -736,15 +838,31 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     if paired:
         if not skip_paired:
             skip_p = skip_p.reshape(B, skip_p.shape[1], W, 2 * Cs)
-        k1d, k1e = _pair_weights(k1.astype(dt), Cs, F)
         k2d, k2e = _pair_weights(k2.astype(dt), F, F)
         b1d = jnp.concatenate([b1, b1]).astype(dt)
         b2d = jnp.concatenate([b2, b2]).astype(dt)
-        weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
-        kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1,
-                                lead_off=6 if use_prepad else 0,
-                                mxu_lerp=mxu_lerp, lerp_dt=lerp_dt,
-                                clamp3=clamp3)
+        if lowres_p:
+            k1s = k1[:, :, :Cs, :].astype(dt)
+            k1u = k1[:, :, Cs:, :].astype(dt)
+            k1sd, k1se = _pair_weights(k1s, Cs, F)
+            kup = jnp.stack([
+                jnp.concatenate(
+                    [jnp.concatenate([k1u[ky, kx], k1u[ky, kx]], axis=-1)
+                     for kx in range(3)], axis=-1)
+                for ky in range(3)])             # (3, Cx, 3·2F)
+            weight_args = (k1sd, k1se, kup, b1d, k2d, k2e, b2d)
+            kernel = _paired_kernel_lowres(T, E, win, Cs, Cx, F, H2, W,
+                                           dt, want_y1,
+                                           lead_off=6 if use_prepad else 0,
+                                           clamp3=clamp3)
+        else:
+            k1d, k1e = _pair_weights(k1.astype(dt), Cs, F)
+            weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
+            kernel = _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt,
+                                    want_y1,
+                                    lead_off=6 if use_prepad else 0,
+                                    mxu_lerp=mxu_lerp, lerp_dt=lerp_dt,
+                                    clamp3=clamp3)
         out_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
         out_spec = pl.BlockSpec((1, T, W, 2 * F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
