@@ -206,3 +206,42 @@ def test_train_wide_deep_stage_vjp():
         a, b = np.asarray(a), np.asarray(b)
         rel = np.abs(b - a).max() / (np.abs(a).max() + 1e-12)
         assert rel < 2e-5, f"grad {i}: rel {rel}"
+
+
+def test_wide_lowres_bwd_matches_reference_grads():
+    """The low-res wide BACKWARD (gated off by default: this image's
+    libtpu crashes compiling it inside full train steps — see
+    core/fusion.use_lowres_bwd) stays grad-exact vs the XLA reference."""
+    from tpu_unet.core import fusion
+    from tpu_unet.kernels.decoder_fuse import (fused_unetup_train_wide,
+                                               reference_unetup)
+
+    rng = np.random.RandomState(7)
+    for (B, H, W, Cs, Cx, F) in [(1, 8, 8, 128, 256, 128),
+                                 (1, 24, 4, 128, 256, 128)]:
+        skip = jnp.asarray(rng.randn(B, 2 * H, 2 * W, Cs).astype(np.float32))
+        x = jnp.asarray(rng.randn(B, H, W, Cx).astype(np.float32))
+        k1 = jnp.asarray((rng.randn(3, 3, Cs + Cx, F) * 0.05
+                          ).astype(np.float32))
+        b1 = jnp.asarray((rng.randn(F) * 0.05).astype(np.float32))
+        k2 = jnp.asarray((rng.randn(3, 3, F, F) * 0.05).astype(np.float32))
+        b2 = jnp.asarray((rng.randn(F) * 0.05).astype(np.float32))
+
+        def loss(f):
+            return lambda *a: jnp.sum(jnp.sin(f(*a) * 0.05))
+
+        args = (skip, x, k1, b1, k2, b2)
+        gr = jax.grad(loss(reference_unetup), argnums=tuple(range(6)))(*args)
+        fusion.set_lowres_up(True)
+        fusion.set_lowres_bwd(True)
+        try:
+            gn = jax.grad(loss(fused_unetup_train_wide),
+                          argnums=tuple(range(6)))(*args)
+        finally:
+            fusion.set_lowres_up(None)
+            fusion.set_lowres_bwd(None)
+        for name, u, v in zip("dskip dx dk1 db1 dk2 db2".split(), gn, gr):
+            scale = max(float(np.max(np.abs(np.asarray(v)))), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(u), np.asarray(v), rtol=5e-4,
+                atol=5e-4 * scale, err_msg=f"lowres bwd grad {name}")

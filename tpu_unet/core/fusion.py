@@ -45,6 +45,7 @@ _overrides: dict[str, bool | None] = {
     "deep": None,
     "lowres_up": None,
     "lowres_up_paired": None,
+    "lowres_bwd": None,
 }
 
 
@@ -126,6 +127,32 @@ def use_lowres_up() -> bool:
 def set_lowres_up_paired(on: bool | None) -> None:
     """Force the paired (F < 128) low-res variant on/off."""
     _overrides["lowres_up_paired"] = on
+
+
+def set_lowres_bwd(on: bool | None) -> None:
+    """Force the low-res WIDE BACKWARD on/off (``None`` restores auto)."""
+    _overrides["lowres_bwd"] = on
+
+
+def use_lowres_bwd() -> bool:
+    """Low-res up path in the wide decoder BACKWARD.
+
+    Default OFF everywhere: the kernel is grad-exact (interpret tests)
+    and compiles standalone on TPU, but inside a full train step this
+    image's libtpu crashes in XLA's fusion emitter
+    (``fusion_emitter.cc: Check failed: window.pad_low[i] == 0 (-2 vs
+    0)``) on a negative-pad fusion it builds around the backward's
+    gradient chain — reproduced minimally with cast params + any optax
+    update, and NOT fixable from the client side (optimization barriers,
+    Pallas-side repacking, and explicit unpacks were all tried).  Flip
+    ``TPU_UNET_LOWRES_BWD=1`` on a libtpu with the emitter fix; the
+    measured upside on v5e is ~20-30%% of the decoder backward's MACs."""
+    if _overrides.get("lowres_bwd") is not None:
+        return _overrides["lowres_bwd"]
+    val = os.environ.get("TPU_UNET_LOWRES_BWD")
+    if val is not None:
+        return val.lower() not in _TRUTHY_OFF
+    return False
 
 
 def use_lowres_up_paired() -> bool:

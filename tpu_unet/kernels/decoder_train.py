@@ -44,8 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_unet.kernels.decoder_fuse import (_col_arrays, _conv_rows,
-                                           _h_upsample_rows, _pair_weights,
-                                           _row_arrays, _shift_cols_zero,
+                                           _h_upsample_rows, _mm,
+                                           _pair_weights, _row_arrays,
+                                           _shift_cols_zero,
                                            _w_expand_pair)
 
 
@@ -528,11 +529,172 @@ from tpu_unet.kernels.decoder_fuse import (_col_arrays as _col_arrays2,
 
 def _unpack_wgrad_eo(dkd, dkeo, dkee, k_shape):
     """Exact adjoint of `_pair_weights_eo`: plane-paired weight cotangents
-    back to the natural (3, 3, C, F) tensor."""
-    fn = jax.linear_transpose(
-        _pair_weights_eo, jax.ShapeDtypeStruct(k_shape, dkd.dtype))
-    (dk,) = fn((dkd, dkeo, dkee))
-    return dk
+    back to the natural (3, 3, C, F) tensor.
+
+    Written as explicit slices + one stack (not jax.linear_transpose):
+    the transpose-emitted pad(slice(...)) chains canonicalize to
+    negative-pad fusions the TPU fusion emitter crashes on
+    (fusion_emitter.cc pad_low check) when they fuse into the optimizer
+    update."""
+    C, F = k_shape[2], k_shape[3]
+    dkx1 = dkd[:, :C, :F] + dkd[:, C:, F:]
+    dkx0 = dkd[:, :C, F:] + dkeo
+    dkx2 = dkd[:, C:, :F] + dkee
+    return jnp.stack([dkx0, dkx1, dkx2], axis=1)
+
+
+def _h_adjoint_rows_ky(dh2d, hwc, hselc, validc, R, win, off):
+    """Adjoint of the H-axis ×2 lerp for R output rows whose E-row
+    indices are ``off + t`` (t in [0, R)): dx_win = Lᵀ @ dh2d with
+    L (R, win) rebuilt in-register as `_h_upsample_mxu` builds it.
+    ``dh2d`` is (R, W·C) 2D; returns (win, W·C) f32."""
+    ein = jax.lax.broadcasted_iota(jnp.int32, (R, win), 0) + off
+    li = jax.lax.broadcasted_iota(jnp.int32, (R, win), 1)
+
+    def row_coeff(c):
+        if c.shape[1] >= win:
+            return c[off:off + R, :win].astype(jnp.float32)
+        return jnp.broadcast_to(c[off:off + R, :1],
+                                (R, win)).astype(jnp.float32)
+
+    hw_t, hsel_t, valid_t = row_coeff(hwc), row_coeff(hselc), row_coeff(validc)
+    lo_i = jnp.where(hsel_t != 0.0, (ein + 2) // 2, ein // 2)
+    aw = valid_t - hw_t
+    L = (jnp.where(li == lo_i, aw, 0.0)
+         + jnp.where(li == lo_i + 1, hw_t, 0.0))
+    return jax.lax.dot_general(
+        L, dh2d,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _w_comb_adjoint(du, colc, F):
+    """Adjoint of the low-res W-combination (`_wide_kernel_lowres`):
+    given du (R, W, 2F) = [d(even-out) | d(odd-out)], returns
+    dp_cat (R, W, 3F) = [dp0 | dp1 | dp2] (f32).  colc is the same
+    (8, W, F) coefficient stack the forward used."""
+    a0, b0, c1, d1, e0, f0, e2, f2 = [colc[k][None] for k in range(8)]
+    due = du[:, :, :F].astype(jnp.float32)
+    duo = du[:, :, F:].astype(jnp.float32)
+    sp = lambda v: _shift_cols_zero(v, 1)    # adjoint of shift(·, -1)
+    sm = lambda v: _shift_cols_zero(v, -1)   # adjoint of shift(·, +1)
+    dp0 = sp(a0 * due) + b0 * due + sp(c1 * duo) + d1 * duo
+    dp1 = sp(c1 * due) + d1 * due + e0 * duo + sm(f0 * duo)
+    dp2 = e0 * due + sm(f0 * due) + e2 * duo + sm(f2 * duo)
+    return jnp.concatenate([dp0, dp1, dp2], axis=-1)
+
+
+def _bwd_kernel_wide_lowres(T, E, win, Cs, Cx, F, H2, W, dt):
+    """`_bwd_kernel_wide` with the LOW-RES up path: the dup→dx chain and
+    conv1's up-half weight gradient run against the raw low-res x window
+    through the same commutation the forward uses — dgrad:
+    dx = Σ_ky Wcombᵀ(Hlerpᵀ(dz1)) @ kupᵀ; wgrad: dkup[ky] = xsᵀ @
+    dp_ky(center rows).  The full-res upsample recompute (cc's up
+    planes) disappears entirely."""
+    def kernel(hwc, hselc, validc, skv, rv, colc,
+               k2fd, k2feo, k2fee, zf,
+               k1sd, k1seo, k1see, zs,
+               kupt,
+               sk_p, sk_m, sk_n, x_l, x_m, x_h,
+               g_p, g_m, g_n, o_p, o_m, o_n, y_p, y_m, y_n,
+               dsk_ref, dxp_ref, dkd1_ref, dkeo1_ref, dkee1_ref,
+               dkup_ref, dkd2_ref, dkeo2_ref, dkee2_ref, db_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = i * T
+
+        @pl.when((b == 0) & (i == 0))
+        def _():
+            dkd1_ref[...] = jnp.zeros_like(dkd1_ref)
+            dkeo1_ref[...] = jnp.zeros_like(dkeo1_ref)
+            dkee1_ref[...] = jnp.zeros_like(dkee1_ref)
+            dkup_ref[...] = jnp.zeros_like(dkup_ref)
+            dkd2_ref[...] = jnp.zeros_like(dkd2_ref)
+            dkeo2_ref[...] = jnp.zeros_like(dkeo2_ref)
+            dkee2_ref[...] = jnp.zeros_like(dkee2_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        def win3(p, m, n):
+            return jnp.concatenate([p[0], m[0], n[0]],
+                                   axis=0)[T - 2:2 * T + 2]
+
+        def fold(a, c):
+            return a.reshape(a.shape[0], W, 2 * c)
+
+        rva = rv[pl.ds(r0, T + 4)]
+        rvw = rva[:, None, :]
+        gw = fold(win3(g_p, g_m, g_n), F) * rvw
+        ow = fold(win3(o_p, o_m, o_n), F)
+        yw = win3(y_p, y_m, y_n) * rvw          # y1 saved paired already
+        g2 = jnp.where(ow.astype(jnp.float32) > 0.0, gw,
+                       jnp.zeros_like(gw))
+        dz1 = _conv_rows_wide(g2, T + 2, k2fd, k2feo, k2fee, zf, dt,
+                              relu=False)
+        dz1 = jnp.where(yw[1:T + 3].astype(jnp.float32) > 0.0, dz1,
+                        jnp.zeros_like(dz1))
+        dz1 = dz1 * rva[1:T + 3][:, None, :]
+
+        dsk_p = _conv_rows_wide(dz1, T, k1sd, k1seo, k1see, zs, dt,
+                                relu=False)     # (T, W, 2Cs) [E|O]
+        dE, dO = dsk_p[:, :, :Cs], dsk_p[:, :, Cs:]
+        st = jnp.concatenate([dE[:, :, None], dO[:, :, None]], axis=2)
+        dsk_ref[0] = st.reshape(T, 2 * W, Cs)
+
+        # ---- LOW-RES up path: dx + conv1's up-half wgrad ----
+        # only the T CENTER y1-row cotangents contribute (the halo rows
+        # are the neighbouring tiles' center rows — overlap-added there)
+        dz2dc = dz1.astype(jnp.float32)[1:T + 1].reshape(T, W * 2 * F)
+        hwv = hwc[pl.ds(r0, E)]
+        hsv = hselc[pl.ds(r0, E)]
+        vlv = validc[pl.ds(r0, E)]
+        dxs = None
+        xs = jnp.concatenate(
+            [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        for ky in range(3):
+            duc = _h_adjoint_rows_ky(dz2dc, hwv, hsv, vlv, T, win,
+                                     ky + 1).reshape(win, W, 2 * F)
+            dpc = _w_comb_adjoint(duc, colc, F).astype(dt)
+            t = _mm(dpc, kupt[ky])                    # (win, W, Cx) f32
+            dxs = t if dxs is None else dxs + t
+            dkup_ref[ky] += _mmT(xs, dpc)             # (Cx, 3F)
+        dxp_ref[0, 0] = dxs.astype(dt)
+
+        # ---- conv2 wgrads: src = y1 window, dout = g2 center rows ----
+        g2c = g2[2:T + 2]
+        gE, gO = g2c[:, :, :F], g2c[:, :, F:]
+        d_eo2 = _shift_cols_zero(gE, 1)
+        d_ee2 = _shift_cols_zero(gO, -1)
+        dkd2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T], g2c) for ky in (0, 1, 2)])
+        dkeo2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T, :, F:], d_eo2) for ky in (0, 1, 2)])
+        dkee2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T, :, :F], d_ee2) for ky in (0, 1, 2)])
+
+        # ---- conv1's SKIP-half wgrads: src = skip planes ----
+        sk = win3(sk_p, sk_m, sk_n)
+        sk = sk * skv[pl.ds(r0, T + 4)][:, None, :]
+        skf = fold(sk, Cs)                           # (T+4, W, 2Cs)
+        dz1c = dz1[1:T + 1]
+        zE, zO = dz1c[:, :, :F], dz1c[:, :, F:]
+        d_eo1 = _shift_cols_zero(zE, 1)
+        d_ee1 = _shift_cols_zero(zO, -1)
+        dkd1_ref[...] += jnp.stack(
+            [_mmT(skf[1 + ky:1 + ky + T], dz1c) for ky in (0, 1, 2)])
+        dkeo1_ref[...] += jnp.stack(
+            [_mmT(skf[1 + ky:1 + ky + T, :, Cs:], d_eo1)
+             for ky in (0, 1, 2)])
+        dkee1_ref[...] += jnp.stack(
+            [_mmT(skf[1 + ky:1 + ky + T, :, :Cs], d_ee1)
+             for ky in (0, 1, 2)])
+
+        dbs = jnp.concatenate([
+            jnp.sum(dz1c.astype(jnp.float32), axis=(0, 1)).reshape(1, 2 * F),
+            jnp.sum(g2c.astype(jnp.float32), axis=(0, 1)).reshape(1, 2 * F),
+        ], axis=0)
+        db_ref[...] += jnp.pad(dbs, ((0, db_ref.shape[0] - 2), (0, 0)))
+
+    return kernel
 
 
 def _bwd_kernel_wide(T, E, win, Cs, Cx, F, H2, W, dt):
@@ -643,6 +805,193 @@ def _bwd_kernel_wide(T, E, win, Cs, Cx, F, H2, W, dt):
     return kernel
 
 
+def _repack_wgrad(dkd, dkeo, dkee, dkup, Cs, Cx, F, interpret):
+    """Unpack the plane-paired weight-gradient accumulators into the
+    natural (3, 3, Cs+Cx, F) tensor as ONE Pallas pass.
+
+    Inputs: dkd (3, 2Cs, 2F), dkeo/dkee (3, Cs, F) — the
+    `_pair_weights_eo` cotangents for the skip channels — and optionally
+    dkup (3, Cx, 3F), the low-res up-half gradient whose lane blocks are
+    the per-kx slices.  A custom call is an opaque fusion boundary, so
+    none of this lands in the grad/optimizer fusions (see the caller's
+    note on the fusion-emitter crash)."""
+    Cp = Cs + Cx
+
+    def kernel(*refs):
+        if dkup is not None:
+            dkd_r, dkeo_r, dkee_r, dkup_r, out_ref = refs
+        else:
+            dkd_r, dkeo_r, dkee_r, out_ref = refs
+        d = dkd_r[...]
+        dkx1 = d[:, :Cs, :F] + d[:, Cs:, F:]
+        dkx0 = d[:, :Cs, F:] + dkeo_r[...]
+        dkx2 = d[:, Cs:, :F] + dkee_r[...]
+        out_ref[:, 0, :Cs] = dkx0
+        out_ref[:, 1, :Cs] = dkx1
+        out_ref[:, 2, :Cs] = dkx2
+        if dkup is not None:
+            u = dkup_r[...]
+            for kx in range(3):
+                out_ref[:, kx, Cs:] = u[:, :, kx * F:(kx + 1) * F]
+
+    args = [dkd, dkeo, dkee] + ([dkup] if dkup is not None else [])
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, 3, Cp, F), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def _overlap_add_windows(dxp, B, H, W, Cx, T, win, dt, interpret):
+    """Overlap-add the per-tile dx windows (B, nblk, win, W, Cx) into
+    (B, H, W, Cx) as one tiny Pallas pass.  The jnp slice+pad+add
+    composition canonicalizes to negative pads inside XLA fusions, which
+    the TPU fusion emitter rejects (fusion_emitter.cc pad_low check) —
+    in-kernel the window arithmetic is just clamped block reads."""
+    half = T // 2
+    nblk = dxp.shape[1]
+
+    def kernel(w_p, w_m, w_n, dx_ref):
+        i = pl.program_id(1)
+        c = w_m[0, 0, 2:2 + half].astype(jnp.float32)
+        lo = w_p[0, 0, 2 + half:4 + half].astype(jnp.float32)
+        hi = w_n[0, 0, 0:2].astype(jnp.float32)
+        z2 = jnp.zeros((half - 2,) + lo.shape[1:], jnp.float32)
+        add_lo = jnp.where(i > 0, jnp.concatenate([lo, z2], axis=0), 0.0)
+        add_hi = jnp.where(i < nblk - 1,
+                           jnp.concatenate([z2, hi], axis=0), 0.0)
+        dx_ref[0] = (c + add_lo + add_hi).astype(dt)
+
+    specs = [
+        pl.BlockSpec((1, 1, win, W, Cx),
+                     lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, win, W, Cx), lambda b, i: (b, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, win, W, Cx),
+                     lambda b, i: (b, jnp.minimum(i + 1, nblk - 1), 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cx), dt),
+        grid=(B, nblk),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, half, W, Cx),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(dxp, dxp, dxp)
+
+
+def _bwd_wide_lowres_call(g, out, y1p, skip, x, k1, B, H2, W2, F, Cp, Cx,
+                          Cs, H, W, dt, T, E, win, hw, hsel, validx, skv,
+                          rv, k2fd, k2feo, k2fee, zf, k1sd, k1seo, k1see,
+                          zs, interpret):
+    """pallas_call + host unpack for `_bwd_kernel_wide_lowres`."""
+    from tpu_unet.kernels.decoder_fuse import _lowres_col_coeffs
+
+    k1u = k1[:, :, Cs:, :].astype(dt)                # (3, 3, Cx, F)
+    kupt = jnp.stack([
+        jnp.concatenate([k1u[ky, 0], k1u[ky, 1], k1u[ky, 2]],
+                        axis=-1).T for ky in range(3)])   # (3, 3F, Cx)
+    colc = jnp.asarray(_lowres_col_coeffs(W, F)).astype(dt)
+
+    nb = H2 // T - 1
+    nbx = H // (T // 2) - 1
+    nblk = H2 // T
+    grid = (B, nblk)
+
+    def blk3(c, paired_cols=False):
+        wdim = W if paired_cols else W2
+        return [
+            pl.BlockSpec((1, T, wdim, c),
+                         lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, wdim, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, wdim, c),
+                         lambda b, i: (b, jnp.minimum(i + 1, nb), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    x_specs = [
+        pl.BlockSpec((1, T // 2, W, Cx),
+                     lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T // 2, W, Cx),
+                     lambda b, i: (b, jnp.minimum(i + 1, nbx), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda b, i: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, H2, W2, Cs), dt),
+        jax.ShapeDtypeStruct((B, nblk, win, W, Cx), dt),
+        jax.ShapeDtypeStruct((3, 2 * Cs, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, Cs, F), jnp.float32),
+        jax.ShapeDtypeStruct((3, Cs, F), jnp.float32),
+        jax.ShapeDtypeStruct((3, Cx, 3 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, 2 * F, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, F, F), jnp.float32),
+        jax.ShapeDtypeStruct((3, F, F), jnp.float32),
+        jax.ShapeDtypeStruct((8, 2 * F), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, T, W2, Cs), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, win, W, Cx), lambda b, i: (b, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((3, 2 * Cs, 2 * F)), const((3, Cs, F)), const((3, Cs, F)),
+        const((3, Cx, 3 * F)),
+        const((3, 2 * F, 2 * F)), const((3, F, F)), const((3, F, F)),
+        const((8, 2 * F)),
+    )
+
+    kernel = _bwd_kernel_wide_lowres(T, E, win, Cs, Cx, F, H2, W, dt)
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 15
+        + blk3(Cs) + x_specs + blk3(F) * 2 + blk3(2 * F, paired_cols=True),
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
+      jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),
+      jnp.asarray(rv).astype(dt), colc,
+      k2fd, k2feo, k2fee, zf, k1sd, k1seo, k1see, zs, kupt,
+      skip, skip, skip, x, x, x, g, g, g, out, out, out, y1p, y1p, y1p)
+    (dsk, dxp, dkd1, dkeo1, dkee1, dkup, dkd2, dkeo2, dkee2, dbs) = res
+
+    dx = _overlap_add_windows(dxp, B, H, W, Cx, T, win, dt, interpret)
+
+    # the wgrad repacks run as Pallas passes: composed as jnp ops they
+    # fuse into the surrounding grad graph, where XLA's simplifier
+    # canonicalizes the slice/pad chains into negative-pad fusions the
+    # TPU fusion emitter rejects (fusion_emitter.cc pad_low check)
+    dk1 = _repack_wgrad(dkd1, dkeo1, dkee1, dkup, Cs, Cx, F, interpret)
+    dk2 = _repack_wgrad(dkd2, dkeo2, dkee2, None, F, 0, F, interpret)
+    db1 = dbs[0, :F] + dbs[0, F:]
+    db2 = dbs[1, :F] + dbs[1, F:]
+    return dsk, dx, dk1, db1, dk2, db2
+
+
 def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
                                block_rows=None):
     """Wide (F >= 128) backward for one decoder stage.
@@ -651,6 +1000,8 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
     (B, H2, W, 2F) as saved by the wide forward; ``x`` natural.  Returns
     (dskip natural, dx natural, dk1, db1, dk2, db2) or None when the
     stage isn't tileable."""
+    from tpu_unet.core import fusion
+
     B, H2, W2, F = g.shape
     Cp = k1.shape[2]
     Cx = Cp - Cs
@@ -665,6 +1016,7 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
         return None
     E = T + 4
     win = T // 2 + 4
+    lowres = fusion.use_lowres_bwd()
 
     interpret = jax.default_backend() == "cpu"
 
@@ -687,6 +1039,12 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
     zf = jnp.zeros((2 * F,), dt)
     zs = jnp.zeros((2 * Cs,), dt)
     zu = jnp.zeros((2 * Cx,), dt)
+
+    if lowres:
+        return _bwd_wide_lowres_call(
+            g, out, y1p, skip, x, k1, B, H2, W2, F, Cp, Cx, Cs, H, W, dt,
+            T, E, win, hw, hsel, validx, skv, rv,
+            k2fd, k2feo, k2fee, zf, k1sd, k1seo, k1see, zs, interpret)
 
     nb = H2 // T - 1
     nbx = H // (T // 2) - 1
