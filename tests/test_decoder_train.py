@@ -209,9 +209,9 @@ def test_train_wide_deep_stage_vjp():
 
 
 def test_wide_lowres_bwd_matches_reference_grads():
-    """The low-res wide BACKWARD (gated off by default: this image's
-    libtpu crashes compiling it inside full train steps — see
-    core/fusion.use_lowres_bwd) stays grad-exact vs the XLA reference."""
+    """The low-res wide BACKWARD (opt-in: measured neutral-to-negative
+    on v5e — see core/fusion.use_lowres_bwd) stays grad-exact vs the
+    XLA reference."""
     from tpu_unet.core import fusion
     from tpu_unet.kernels.decoder_fuse import (fused_unetup_train_wide,
                                                reference_unetup)

@@ -138,15 +138,18 @@ def use_lowres_bwd() -> bool:
     """Low-res up path in the wide decoder BACKWARD.
 
     Default OFF everywhere: the kernel is grad-exact (interpret tests)
-    and compiles standalone on TPU, but inside a full train step this
-    image's libtpu crashes in XLA's fusion emitter
-    (``fusion_emitter.cc: Check failed: window.pad_low[i] == 0 (-2 vs
-    0)``) on a negative-pad fusion it builds around the backward's
-    gradient chain — reproduced minimally with cast params + any optax
-    update, and NOT fixable from the client side (optimization barriers,
-    Pallas-side repacking, and explicit unpacks were all tried).  Flip
-    ``TPU_UNET_LOWRES_BWD=1`` on a libtpu with the emitter fix; the
-    measured upside on v5e is ~20-30%% of the decoder backward's MACs."""
+    and as of round 3 compiles AND runs inside full train steps (the
+    earlier fusion-emitter crash — ``fusion_emitter.cc: Check failed:
+    window.pad_low[i] == 0`` — came from the host-side weight unpack's
+    slice/concat/transpose chain canonicalizing to a negative-pad
+    fusion; rewriting it as one transpose+reshape removed the fold,
+    see kernels/decoder_train.py::_bwd_wide_lowres_call).  Measured on
+    v5e @512px/bs8 it does not pay: 88.1 (F<=256 stages) / 86.9 (all
+    stages, T=8 for F=512 to fit scoped VMEM) vs 88.0 img/s/chip for
+    the full-res paired backward — the deep stage's smaller tiles cost
+    more than the conv1-up FLOP cut saves, and the shallow stages'
+    backward is not MAC-bound.  Kept as a measured, working opt-in
+    (``TPU_UNET_LOWRES_BWD=1``) for chips where the balance differs."""
     if _overrides.get("lowres_bwd") is not None:
         return _overrides["lowres_bwd"]
     val = os.environ.get("TPU_UNET_LOWRES_BWD")

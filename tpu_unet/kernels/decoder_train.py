@@ -898,9 +898,12 @@ def _bwd_wide_lowres_call(g, out, y1p, skip, x, k1, B, H2, W2, F, Cp, Cx,
     from tpu_unet.kernels.decoder_fuse import _lowres_col_coeffs
 
     k1u = k1[:, :, Cs:, :].astype(dt)                # (3, 3, Cx, F)
-    kupt = jnp.stack([
-        jnp.concatenate([k1u[ky, 0], k1u[ky, 1], k1u[ky, 2]],
-                        axis=-1).T for ky in range(3)])   # (3, 3F, Cx)
+    # (3, 3F, Cx) with rows [kx*F + f] = k1u[ky, kx, :, f].  Written as a
+    # single transpose+reshape: the equivalent per-kx slice/concat/.T
+    # chain fuses into a backend window op with negative low padding that
+    # the TPU fusion emitter rejects (fusion_emitter.cc:4272 pad_low
+    # check) — this form never creates that fold.
+    kupt = k1u.transpose(0, 1, 3, 2).reshape(3, 3 * F, Cx)
     colc = jnp.asarray(_lowres_col_coeffs(W, F)).astype(dt)
 
     nb = H2 // T - 1
@@ -1011,12 +1014,21 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
           and W2 == 2 * W and W % 2 == 0)
     if not ok:
         return None
-    T = block_rows or (16 if H2 % 16 == 0 else 8)
+    lowres = fusion.use_lowres_bwd()
+    # The low-res variant carries the (3, Cx, 3F) up-half weight + wgrad
+    # blocks resident in VMEM on top of the paired set; at F=512 the
+    # deepest stage's scoped demand exceeds the 100 MB budget by ~1 MB
+    # at T=16 no matter the limit (Mosaic sizes its buffering up to
+    # whatever cap it is given), so that stage drops to T=8 row tiles —
+    # the weight/wgrad residency is T-invariant, the ~33 MB of row
+    # blocks halve, and the kernel is T-parametric (grad-exact at T=8,
+    # tests/test_decoder_train.py).
+    T = block_rows or (8 if (lowres and F > 256 and H2 % 8 == 0)
+                       else (16 if H2 % 16 == 0 else 8))
     if H2 % T or T < 8 or H % (T // 2):
         return None
     E = T + 4
     win = T // 2 + 4
-    lowres = fusion.use_lowres_bwd()
 
     interpret = jax.default_backend() == "cpu"
 
