@@ -169,16 +169,27 @@ def _h_upsample_rows(xs, hw_b, hsel_b, r0, H2, E):
     pre-broadcast on lanes — Mosaic can only broadcast narrow dtypes
     along sublanes."""
     win = xs.shape[0]
-    xe = xs[:, None]
-    repw = jnp.concatenate([xe, xe], axis=1).reshape(
-        2 * win, xs.shape[1], xs.shape[2])
-    s0, s2, s4 = repw[0:E], repw[2:E + 2], repw[4:E + 4]
-    sel = hsel_b[:, None, :] != 0.0
+
+    # row duplication as a static concat of leading-dim slices
+    # (repw[r] = xs[r // 2]): the rank-4 broadcast+reshape interleave this
+    # replaces is an "unsupported shape cast" in Mosaic whenever the lane
+    # count isn't a 128-multiple (e.g. the 64-channel up_conv head)
+    def dup(o):
+        idx = [min((e + o) // 2, win - 1) for e in range(E)]
+        return jnp.concatenate([xs[i:i + 1] for i in idx], axis=0)
+
+    s0, s2, s4 = dup(0), dup(2), dup(4)
+    # coefficient tables may arrive (E, 1, C) pre-shaped: the in-kernel
+    # rank expansion below is another unsupported-at-64-lanes shape cast
+    if hw_b.ndim == 2:
+        hw_b = hw_b[:, None, :]
+        hsel_b = hsel_b[:, None, :]
+    sel = hsel_b != 0.0
     lo = jnp.where(sel, s2, s0)
     hi = jnp.where(sel, s4, s2)
     # row-validity is folded into hw (OOB rows have weight 0) — zeroing
     # happens via the valid multiply at the call sites
-    return lo + (hi - lo) * hw_b[:, None, :]
+    return lo + (hi - lo) * hw_b
 
 
 def _h_upsample_mxu(xs2d, hwc, hselc, validc, E, win, dt, acc_dt=jnp.float32):

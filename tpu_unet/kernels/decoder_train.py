@@ -208,8 +208,16 @@ def _w_expand_adjoint(dup, we3, wo3, Cx, W):
     (R, W, 2Cx) — lanes [0:Cx] = d(even), [Cx:2Cx] = d(odd).  Returns
     dh (R, W, Cx) f32.  Forward: even_j = (1-we_j)·h_{max(j-1,0)} +
     we_j·h_j, odd_j = (1-wo_j)·h_j + wo_j·h_{min(j+1,W-1)}."""
-    deven = dup[:, :, :Cx].astype(jnp.float32)
-    dodd = dup[:, :, Cx:].astype(jnp.float32)
+    dupf = dup.astype(jnp.float32)
+    deven = dupf[:, :, :Cx]
+    if Cx % 128 == 0 or jax.default_backend() == "cpu":
+        dodd = dupf[:, :, Cx:]
+    else:
+        # Cx = 64 (up_conv head): the lane-offset-64 slice poisons the
+        # layout of the column-shift concats below (Mosaic rejects
+        # lane-offset concat operands) — a half-width lane roll of the
+        # 2-block array lands the odd half at offset 0 instead
+        dodd = pltpu.roll(dupf, Cx, axis=2)[:, :, :Cx]
     a = deven * we3
     b = deven - a                               # (1-we)·deven
     c = dodd - dodd * wo3                       # (1-wo)·dodd
@@ -225,8 +233,13 @@ def _h_adjoint_rows(dh, hwc, hselc, validc, T, win, W, Cx):
     """Adjoint of the H-axis ×2 lerp for the T output rows of one tile:
     dx_win = Lᵀ @ dh, with L (T, win) rebuilt in-register exactly as
     `_h_upsample_mxu` builds it (rows e = t+2 of the E-row L).  Returns
-    (win, W·Cx) f32 — the tile's contribution to x rows
-    r0//2 - 2 .. r0//2 + win - 2, overlap-added by the caller."""
+    (win, W, Cx) f32 — the tile's contribution to x rows
+    r0//2 - 2 .. r0//2 + win - 2, overlap-added by the caller.
+
+    When Cx isn't a 128-multiple (the 64-channel up_conv head) the
+    trailing (W, Cx)↔(W·Cx) folds are unsupported Mosaic shape casts, so
+    dh is lane-padded to 128 first (zero columns contract to zeros) and
+    the result sliced back — the matmul N doubles, but it is tiny."""
     ein = jax.lax.broadcasted_iota(jnp.int32, (T, win), 0) + 2
     li = jax.lax.broadcasted_iota(jnp.int32, (T, win), 1)
     def row_coeff(c):
@@ -243,10 +256,18 @@ def _h_adjoint_rows(dh, hwc, hselc, validc, T, win, W, Cx):
     aw = valid_t - hw_t
     L = (jnp.where(li == lo_i, aw, 0.0)
          + jnp.where(li == lo_i + 1, hw_t, 0.0))
-    return jax.lax.dot_general(
-        L, dh.reshape(T, W * Cx),
+    C = Cx
+    if C % 128:
+        pad = 128 - C % 128
+        dh = jnp.concatenate([dh, jnp.zeros(dh.shape[:2] + (pad,),
+                                            dh.dtype)], axis=-1)
+        C += pad
+    out = jax.lax.dot_general(
+        L, dh.reshape(T, W * C),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    out = out.reshape(win, W, C)
+    return out[:, :, :Cx] if C != Cx else out
 
 
 def _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt):
@@ -308,7 +329,7 @@ def _bwd_kernel_v2(T, E, win, Cs, Cx, F, H2, W, dt):
         dh = _w_expand_adjoint(dup, we3, wo3, Cx, W)
         dxw = _h_adjoint_rows(dh, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
                               validx[pl.ds(r0, E)], T, win, W, Cx)
-        dxp_ref[0, 0] = dxw.reshape(win, W, Cx).astype(dt)
+        dxp_ref[0, 0] = dxw.astype(dt)
 
         # ---- conv2 wgrad: src = y1 window, dout = g2 rows r0..r0+T ----
         g2c = g2[2:T + 2]
@@ -757,7 +778,7 @@ def _bwd_kernel_wide(T, E, win, Cs, Cx, F, H2, W, dt):
         dh = _w_expand_adjoint(dup, we3, wo3, Cx, W)
         dxw = _h_adjoint_rows(dh, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
                               validx[pl.ds(r0, E)], T, win, W, Cx)
-        dxp_ref[0, 0] = dxw.reshape(win, W, Cx).astype(dt)
+        dxp_ref[0, 0] = dxw.astype(dt)
 
         # ---- conv2 wgrads: src = y1 window, dout = g2 center rows ----
         g2c = g2[2:T + 2]

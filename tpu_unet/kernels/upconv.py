@@ -56,10 +56,14 @@ def _upconv_kernel(T, E, win, Cx, F, H2, W, dt, want_y1=False):
 
         xs = jnp.concatenate(
             [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        # coefficient tables arrive (rows, 1, Cx) / (1, W, Cx) PRE-shaped:
+        # unlike the 128-channel decoder stages, Cx is 64 here and an
+        # in-kernel rank expansion of a 64-lane array is an unsupported
+        # Mosaic shape cast
         h = _h_upsample_rows(xs, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
                              r0, H2, E)
-        h = h * validx[pl.ds(r0, E)][:, None, :]
-        even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
+        h = h * validx[pl.ds(r0, E)]
+        even, odd = _w_expand_pair(h, we[...], wo[...])
         cc = jnp.concatenate([even.astype(dt), odd.astype(dt)], axis=-1)
         y1 = _conv_rows(cc, T + 2, k1d, k1e, b1d, dt)
         y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
@@ -89,11 +93,13 @@ def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
 
     hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
-    hw = np.repeat(hw, Cx, axis=1)
-    hsel = np.repeat(hsel, Cx, axis=1)
-    validx = np.repeat(valid, Cx, axis=1)
-    we = np.repeat(we, Cx, axis=1)
-    wo = np.repeat(wo, Cx, axis=1)
+    # (rows, 1, Cx) / (1, W, Cx): rank expansion happens HERE, not in the
+    # kernel — Mosaic rejects it on 64-lane arrays (see kernel comment)
+    hw = np.repeat(hw, Cx, axis=1)[:, None, :]
+    hsel = np.repeat(hsel, Cx, axis=1)[:, None, :]
+    validx = np.repeat(valid, Cx, axis=1)[:, None, :]
+    we = np.repeat(we, Cx, axis=1)[None]
+    wo = np.repeat(wo, Cx, axis=1)[None]
     r1 = np.arange(-1, H2 + 1)
     valid1 = np.repeat(((r1 >= 0) & (r1 < H2)).astype(np.float32
                                                       ).reshape(-1, 1),
@@ -147,7 +153,7 @@ def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
 
 
 def _upconv_bwd_kernel(T, E, win, Cx, F, H2, W, dt):
-    def kernel(hw, hsel, validx, rv, we, wo,
+    def kernel(hw, hsel, validx, hw3, hsel3, validx3, rv, we, wo,
                k2fd, k2fe, zf, k1ud, k1ue, zu,
                x_l, x_m, x_h,
                g_p, g_m, g_n, o_p, o_m, o_n, y_p, y_m, y_n,
@@ -181,12 +187,14 @@ def _upconv_bwd_kernel(T, E, win, Cx, F, H2, W, dt):
         dz1 = dz1 * rva[1:T + 3][:, None, :]
 
         dup = _conv_rows(dz1, T, k1ud, k1ue, zu, dt, relu=False)
-        we3 = we[...].astype(jnp.float32)[None]
-        wo3 = wo[...].astype(jnp.float32)[None]
+        # we/wo arrive (1, W, Cx) pre-shaped; the adjoint's row tables
+        # stay 2D (rows, Cx) for the in-register L rebuild
+        we3 = we[...].astype(jnp.float32)
+        wo3 = wo[...].astype(jnp.float32)
         dh = _w_expand_adjoint(dup, we3, wo3, Cx, W)
         dxw = _h_adjoint_rows(dh, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
                               validx[pl.ds(r0, E)], T, win, W, Cx)
-        dxp_ref[0, 0] = dxw.reshape(win, W, Cx).astype(dt)
+        dxp_ref[0, 0] = dxw.astype(dt)
 
         # conv2 wgrad: src = y1 window, dout = g2 center
         g2c = g2[2:T + 2]
@@ -196,13 +204,14 @@ def _upconv_bwd_kernel(T, E, win, Cx, F, H2, W, dt):
         dke2_ref[...] += jnp.stack(
             [_mmT(yw[1 + ky:1 + ky + T], sh2) for ky in (0, 1, 2)])
 
-        # conv1 wgrad: src = cc = [upE, upO] recomputed
+        # conv1 wgrad: src = cc = [upE, upO] recomputed; the (rows, 1, Cx)
+        # tables avoid in-kernel rank expansion at 64 lanes
         xs = jnp.concatenate(
             [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
-        h = _h_upsample_rows(xs, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
+        h = _h_upsample_rows(xs, hw3[pl.ds(r0, E)], hsel3[pl.ds(r0, E)],
                              r0, H2, E)
-        h = h * validx[pl.ds(r0, E)][:, None, :]
-        even, odd = _w_expand_pair(h, we[...][None], wo[...][None])
+        h = h * validx3[pl.ds(r0, E)]
+        even, odd = _w_expand_pair(h, we[...], wo[...])
         cc = jnp.concatenate([even.astype(dt), odd.astype(dt)], axis=-1)
         dz1c = dz1[1:T + 1]
         sh1 = _edge_cotangent(dz1c)
@@ -239,11 +248,15 @@ def fused_upconv_bwd_impl(g, out, y1, x, k1, k2, block_rows=None):
 
     hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
+    # 2D (rows, Cx) tables for the H-lerp adjoint's L rebuild, 3D
+    # (rows, 1, Cx) / (1, W, Cx) for the forward recompute (no in-kernel
+    # rank expansion at 64 lanes — unsupported Mosaic shape cast)
     hw = np.repeat(hw, Cx, axis=1)
     hsel = np.repeat(hsel, Cx, axis=1)
     validx = np.repeat(valid, Cx, axis=1)
-    we = np.repeat(we, Cx, axis=1)
-    wo = np.repeat(wo, Cx, axis=1)
+    hw3, hsel3, validx3 = hw[:, None, :], hsel[:, None, :], validx[:, None, :]
+    we = np.repeat(we, Cx, axis=1)[None]
+    wo = np.repeat(wo, Cx, axis=1)[None]
     rs = np.arange(-2, H2 + 2)
     rv = np.repeat(((rs >= 0) & (rs < H2)).astype(np.float32
                                                   ).reshape(-1, 1),
@@ -309,7 +322,7 @@ def fused_upconv_bwd_impl(g, out, y1, x, k1, k2, block_rows=None):
         kernel,
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 15
         + x_specs + blk3(2 * F) * 3,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
@@ -317,7 +330,9 @@ def fused_upconv_bwd_impl(g, out, y1, x, k1, k2, block_rows=None):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
-      jnp.asarray(validx).astype(dt), jnp.asarray(rv).astype(dt),
+      jnp.asarray(validx).astype(dt),
+      jnp.asarray(hw3).astype(dt), jnp.asarray(hsel3).astype(dt),
+      jnp.asarray(validx3).astype(dt), jnp.asarray(rv).astype(dt),
       jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
       k2fd, k2fe, zf, k1ud, k1ue, zu,
       x, x, x, g, g, g, out, out, out, y1, y1, y1)
