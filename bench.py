@@ -45,11 +45,10 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21,
     paired_model = Unet(num_classes=num_classes,
                         backbone=("resnet50" if model_name == "unet_resnet50"
                                   else "vgg"),
-                        paired_head=True)
+                        paired_head=True, input_scale=1.0 / 255.0)
 
     @jax.jit
     def step(variables, imgs_u8):
-        x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         # Masks stay on device (downstream eval/render consume them there);
         # the host gets a compact per-image class histogram.  Pulling full
         # masks is a no-op on real PCIe but this harness runs through a
@@ -59,11 +58,13 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21,
             # paired-layout serving head + fused Pallas tail: the last
             # decoder stage emits column-paired features and the tail does
             # final 1×1 conv + argmax + mask + histogram in one VMEM pass —
-            # the unpair relayout (1.3 ms/step) never runs
+            # the unpair relayout (1.3 ms/step) never runs.  The RAW uint8
+            # batch feeds the model: the fused stem normalizes in-VMEM
+            # (input_scale above), so no pre-normalize pass or layout copy.
             from tpu_unet.kernels.postprocess import (
                 fused_final_argmax_hist_paired)
 
-            feats = paired_model.apply(variables, x, False)
+            feats = paired_model.apply(variables, imgs_u8, False)
             masks, hist = fused_final_argmax_hist_paired(
                 feats, variables["params"]["final"]["kernel"],
                 variables["params"]["final"]["bias"], num_classes)
@@ -71,6 +72,7 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21,
             return hist.astype(jnp.int32)
         # other flagships (unet_resnet50): standard apply — the fused
         # decoder stages still engage through UnetUp — then argmax+hist
+        x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         logits = model.apply(variables, x, False)
         masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         classes = jnp.arange(num_classes, dtype=jnp.uint8)

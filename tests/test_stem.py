@@ -94,3 +94,45 @@ def test_paired_pipeline_with_prepadded_skip():
         feats, variables["params"]["final"]["kernel"],
         variables["params"]["final"]["bias"], 21, interpret=True)
     np.testing.assert_array_equal(np.asarray(masks), ref_mask)
+
+
+def test_stem_uint8_input_scale_matches_reference():
+    """Raw-uint8 serving path: the stem converts in-VMEM and folds the
+    1/255 normalize into its packed conv1_1 weights (bench.py feeds the
+    uint8 batch straight into the model)."""
+    from tpu_unet.kernels.stem import fused_vgg_stem_impl
+
+    x8 = jnp.asarray(RNG.randint(0, 255, (2, 32, 32, 3)).astype(np.uint8))
+    k11 = jnp.asarray((RNG.randn(3, 3, 3, 64) * 0.1).astype(np.float32))
+    b11 = jnp.asarray((RNG.randn(64) * 0.1).astype(np.float32))
+    k12 = jnp.asarray((RNG.randn(3, 3, 64, 64) * 0.1).astype(np.float32))
+    b12 = jnp.asarray((RNG.randn(64) * 0.1).astype(np.float32))
+
+    skip_f, pool_f = fused_vgg_stem_impl(
+        x8, k11, b11, k12, b12, prepad_skip=False, input_scale=1 / 255.0)
+    xf = x8.astype(jnp.float32) / 255.0
+    skip_r, pool_r = reference_vgg_stem(xf, k11, b11, k12, b12)
+    np.testing.assert_allclose(np.asarray(skip_f), np.asarray(skip_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pool_f), np.asarray(pool_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unet_uint8_input_scale_end_to_end():
+    """Unet(input_scale=1/255) on a raw uint8 batch matches the normalized
+    float forward on every backbone path (fused kernels off on CPU: this
+    exercises the up-front scaling fallbacks)."""
+    from tpu_unet.models.registry import build_model, init_model
+    from tpu_unet.models.unet import Unet
+
+    model = build_model("unet_vgg", 21)
+    variables = init_model(model, (64, 64))
+    x8 = jnp.asarray(RNG.randint(0, 255, (1, 64, 64, 3)).astype(np.uint8))
+    # uint8 inputs normalize in bfloat16 (serving precision) on the
+    # non-kernel paths — compare against the same quantization
+    xn = x8.astype(jnp.bfloat16) * jnp.asarray(1 / 255.0, jnp.bfloat16)
+    ref = model.apply(variables, xn, False)
+    m8 = Unet(num_classes=21, backbone="vgg", input_scale=1 / 255.0)
+    out = m8.apply(variables, x8, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -70,7 +70,7 @@ def _mm2(a, k):
         preferred_element_type=jnp.float32)
 
 
-def _make_stem_kernel(Wp, F, dt, lane_roll):
+def _make_stem_kernel(Wp, F, dt, lane_roll, convert_in=False):
     E = _T + 4            # raw rows per window
     R1 = _T + 2           # conv1_1 output rows (conv1_2 halo included)
 
@@ -80,6 +80,9 @@ def _make_stem_kernel(Wp, F, dt, lane_roll):
         r0 = t * _T
 
         xs = jnp.concatenate([x_l[0], x_m[0], x_t[0]], axis=0)  # (E, Wp, 6)
+        if convert_in:  # raw uint8 image: normalize scale lives in k11p
+            # Mosaic has no direct u8->f32 cast; widen through i32
+            xs = xs.astype(jnp.int32).astype(jnp.float32)
         views = []
         for ky in range(3):
             rows = xs[ky:ky + R1]
@@ -107,7 +110,8 @@ def _make_stem_kernel(Wp, F, dt, lane_roll):
 
 
 def fused_vgg_stem_impl(x, k11, b11, k12, b12, prepad_pool: bool = False,
-                        prepad_skip: bool = True, want_a1: bool = False):
+                        prepad_skip: bool = True, want_a1: bool = False,
+                        input_scale: float | None = None):
     """(B, H, W, 3) normalized image → (paired skip (B, H, W/2, 2F),
     pooled (B, H/2, W/2, F)).  Returns None for untileable shapes.
 
@@ -115,12 +119,21 @@ def fused_vgg_stem_impl(x, k11, b11, k12, b12, prepad_pool: bool = False,
     (H/2 + 16)-row P8 buffer (rows [8, 8+H/2) valid, boundary blocks
     uninitialized) — the layout the fused encoder blocks consume with
     ``prepad_in`` (kernels/encoder.py), so the host pad copy between the
-    stem and block 2 never runs."""
+    stem and block 2 never runs.
+
+    With ``input_scale`` the scale (e.g. 1/255) is folded into the packed
+    conv1_1 weights and ``x`` may be the RAW uint8 image: the kernel
+    converts in-VMEM, so the normalize fusion and the layout copy XLA
+    inserts between it and the Pallas operand (~0.4 ms/step at 512px/bs8)
+    never run."""
     B, H, W, C = x.shape
     F = k11.shape[-1]
-    dt = x.dtype
+    raw_u8 = x.dtype == jnp.uint8
+    dt = k12.dtype if raw_u8 else x.dtype
     if C != 3 or H % (2 * _T) or W % 4 or F % 8:
         return None
+    if input_scale is not None:
+        k11 = k11 * input_scale
     Wp = W // 2
 
     interpret = jax.default_backend() == "cpu"
@@ -150,7 +163,7 @@ def fused_vgg_stem_impl(x, k11, b11, k12, b12, prepad_pool: bool = False,
     else:
         def lane_roll(yf, f):
             return pltpu.roll(yf, f, axis=2)
-    kernel = _make_stem_kernel(Wp, F, dt, lane_roll)
+    kernel = _make_stem_kernel(Wp, F, dt, lane_roll, convert_in=raw_u8)
 
     coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
     data_specs = [

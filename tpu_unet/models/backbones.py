@@ -47,6 +47,17 @@ class VGG16(nn.Module):
     # (kernels/stem_train.py); feat1 comes back column-PAIRED and its
     # cotangent arrives paired from the paired decoder backward
     fused_stem_train: bool = False
+    # serving-path input normalization: when set (e.g. 1/255) the input
+    # may be the RAW uint8 image — the fused stem folds the scale into
+    # its conv1_1 weights and converts in-VMEM; every other path scales
+    # up-front in the compute dtype
+    input_scale: float | None = None
+
+    def _scale_input(self, x):
+        if self.input_scale is None:
+            return x
+        dt = jnp.bfloat16 if x.dtype == jnp.uint8 else x.dtype
+        return x.astype(dt) * jnp.asarray(self.input_scale, dt)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,6 +66,11 @@ class VGG16(nn.Module):
         feats = []
         start = 0
         fuse = False
+        # the fused-stem serving path consumes the raw input (scale folded
+        # into the kernel's weights); every other path normalizes here
+        if not (self.fused_stem and not self.fused_stem_train
+                and not self.is_initializing()):
+            x = self._scale_input(x)
         if (self.fused_stem or self.fused_blocks) \
                 and not self.is_initializing():
             from tpu_unet.core.fusion import use_fused_decoder
@@ -77,11 +93,13 @@ class VGG16(nn.Module):
             k11, b11 = _ConvParams(64, 3, name="features_0")()
             k12, b12 = _ConvParams(64, 64, name="features_2")()
             res = (fused_vgg_stem_impl(x, k11, b11, k12, b12,
-                                       prepad_pool=self.fused_blocks)
+                                       prepad_pool=self.fused_blocks,
+                                       input_scale=self.input_scale)
                    if fuse else None)
             if res is None:
                 from tpu_unet.kernels.stem import reference_vgg_stem
-                res = reference_vgg_stem(x, k11, b11, k12, b12)
+                res = reference_vgg_stem(self._scale_input(x),
+                                         k11, b11, k12, b12)
             else:
                 x_p8 = self.fused_blocks
             feat1_paired, x = res

@@ -36,6 +36,11 @@ class Unet(nn.Module):
     # inside the loss passes, so the logit map never touches HBM.
     # Parameter tree is unchanged (apply with a full init's params).
     features_out: bool = False
+    # Serving-path input normalization (e.g. 1/255): the input may then be
+    # the RAW uint8 image — the fused VGG stem folds the scale into its
+    # conv1_1 weights and converts in-VMEM (kernels/stem.py); other paths
+    # scale up-front in the compute dtype.
+    input_scale: float | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -58,8 +63,12 @@ class Unet(nn.Module):
             # encoder kernel); the serving path is the paired head
             feats = VGG16(name="vgg", fused_stem=paired_path,
                           fused_blocks=paired_path,
-                          fused_stem_train=paired_train)(x, train)
+                          fused_stem_train=paired_train,
+                          input_scale=self.input_scale)(x, train)
         elif self.backbone == "resnet50":
+            if self.input_scale is not None:
+                dt = jnp.bfloat16 if x.dtype == jnp.uint8 else x.dtype
+                x = x.astype(dt) * jnp.asarray(self.input_scale, dt)
             feats = ResNet50(name="resnet")(x, train)
         else:
             raise ValueError(
