@@ -42,10 +42,14 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21,
 
     from tpu_unet.models.unet import Unet
 
+    # input_scale (raw-uint8 ingest) is OFF here: measured on v5e the
+    # in-kernel u8 convert costs ~1.2 ms/step (Mosaic u8 vector loads)
+    # while the XLA-side normalize+copy costs ~0.4 — the u8 path exists
+    # for real-PCIe serving where halving H2D bytes dominates
     paired_model = Unet(num_classes=num_classes,
                         backbone=("resnet50" if model_name == "unet_resnet50"
                                   else "vgg"),
-                        paired_head=True, input_scale=1.0 / 255.0)
+                        paired_head=True)
 
     @jax.jit
     def step(variables, imgs_u8):
@@ -58,13 +62,12 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21,
             # paired-layout serving head + fused Pallas tail: the last
             # decoder stage emits column-paired features and the tail does
             # final 1×1 conv + argmax + mask + histogram in one VMEM pass —
-            # the unpair relayout (1.3 ms/step) never runs.  The RAW uint8
-            # batch feeds the model: the fused stem normalizes in-VMEM
-            # (input_scale above), so no pre-normalize pass or layout copy.
+            # the unpair relayout (1.3 ms/step) never runs
             from tpu_unet.kernels.postprocess import (
                 fused_final_argmax_hist_paired)
 
-            feats = paired_model.apply(variables, imgs_u8, False)
+            x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            feats = paired_model.apply(variables, x, False)
             masks, hist = fused_final_argmax_hist_paired(
                 feats, variables["params"]["final"]["kernel"],
                 variables["params"]["final"]["bias"], num_classes)

@@ -180,9 +180,11 @@ def _make_paired_argmax_hist_kernel(block: int, per_img: int, c: int):
         def _():
             hist_ref[...] = jnp.zeros_like(hist_ref)
 
-        x = feat_ref[...].astype(jnp.float32)          # (block, 2F)
-        logits = jnp.dot(x, w_ref[...].astype(jnp.float32),
-                         preferred_element_type=jnp.float32) + b_ref[...]
+        # matmul in the feature dtype (bf16 on TPU): the f32 up-convert
+        # of the (block, 2F) tile cost more than the matmul it fed
+        logits = jnp.dot(feat_ref[...], w_ref[...],
+                         preferred_element_type=jnp.float32) \
+            + b_ref[...].astype(jnp.float32)
         # logits (block, 2C) = [even-pixel logits | odd-pixel logits];
         # masked argmaxes avoid lane-offset slices
         lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
@@ -191,7 +193,11 @@ def _make_paired_argmax_hist_kernel(block: int, per_img: int, c: int):
                            axis=-1, keepdims=True).astype(jnp.int32)
         cls_o = jnp.argmax(jnp.where(lane >= c, logits, neg),
                            axis=-1, keepdims=True).astype(jnp.int32) - c
-        mask_ref[...] = jnp.concatenate([cls_e, cls_o], axis=-1)
+        # uint8 mask: the (block, 2) tile pads to 128 lanes in HBM, so
+        # the write traffic is 64x the logical mask — at i32 that was
+        # ~512 MB/step (0.6+ ms) at 512px/bs8; u8 quarters it
+        mask_ref[...] = jnp.concatenate([cls_e, cls_o],
+                                        axis=-1).astype(jnp.uint8)
         ci = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         onehot = ((cls_e == ci).astype(jnp.float32)
                   + (cls_o == ci).astype(jnp.float32))
@@ -218,17 +224,26 @@ def fused_final_argmax_hist_paired(features, kernel, bias, num_classes: int,
                           jnp.concatenate([zero, kern], axis=1)], axis=0)
     b2 = jnp.concatenate([bias, bias]).reshape(1, 2 * c)
     rows = n * h * w2
-    block = 1024
     per_img = h * w2
+    # big row blocks: at 1024 the 512px/bs8 tail ran 1024 grid steps of
+    # a tiny (1024, 2F)x(2F, 2C) matmul — grid overhead dominated.  4096
+    # stays inside scoped VMEM (the (block, 2) i32 mask tile pads to 128
+    # lanes, so it costs 64x its logical size)
+    block = 4096
+    while block > 1024 and (per_img % block or rows % block):
+        block //= 2
     if per_img % block or rows % block:
-        # fall back through the unpaired tail
+        # fall back through the unpaired tail (masks cast for dtype
+        # parity with the kernel path)
         unp = features.reshape(n, h, 2 * w2, f)
-        return fused_final_argmax_hist(unp, kernel, bias, num_classes,
-                                       interpret)
+        m, hs = fused_final_argmax_hist(unp, kernel, bias, num_classes,
+                                        interpret)
+        return m.astype(jnp.uint8), hs
     flat = features.reshape(rows, f2)
+    wd = wd.astype(features.dtype)
     masks, hist = pl.pallas_call(
         _make_paired_argmax_hist_kernel(block, per_img, c),
-        out_shape=(jax.ShapeDtypeStruct((rows, 2), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((rows, 2), jnp.uint8),
                    jax.ShapeDtypeStruct((n, c), jnp.float32)),
         grid=(rows // block,),
         in_specs=[
