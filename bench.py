@@ -66,6 +66,11 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21,
             from tpu_unet.kernels.postprocess import (
                 fused_final_argmax_hist_paired)
 
+            # XLA normalize + one relayout copy (~0.4 ms) measured
+            # cheapest here: the stem's (B, H, W/2, 6) operand is
+            # lane-padded 6->128 in HBM, so ANY producer pays the padded
+            # -tile DMA — a Pallas normalize emitting dense rows just
+            # moves the cost into a materialized reshape (+0.4 ms)
             x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
             feats = paired_model.apply(variables, x, False)
             masks, hist = fused_final_argmax_hist_paired(

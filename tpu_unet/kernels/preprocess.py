@@ -13,12 +13,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _normalize_kernel(img_ref, out_ref):
-    out_ref[...] = img_ref[...].astype(jnp.float32) * (1.0 / 255.0)
+def _make_normalize_kernel(dt):
+    def kernel(img_ref, out_ref):
+        # Mosaic has no direct u8->f32 cast; widen through i32.  The
+        # output is written in the COMPUTE dtype so XLA never runs a
+        # separate convert pass (whose fusion picks a W-major layout and
+        # forces a ~0.4 ms relayout copy in front of the Pallas stem)
+        x = img_ref[...].astype(jnp.int32).astype(jnp.float32)
+        out_ref[...] = (x * (1.0 / 255.0)).astype(dt)
+    return kernel
 
 
 def normalize_images(images_u8, dtype=jnp.float32, interpret: bool = False):
-    """(N,H,W,3) uint8 → (N,H,W,3) dtype in [0,1]."""
+    """(N,H,W,3) uint8 → (N,H,W,3) dtype in [0,1].
+
+    Runs lane-wide ((block, W·C) tiles, W·C a 128-multiple at every real
+    shape) and emits ``dtype`` directly — the row-major output bitcasts
+    into the fused stem's (N, H, W/2, 6) paired view with no copy."""
     n, h, w, c = images_u8.shape
     flat = images_u8.reshape(n * h, w * c)
     block = 256
@@ -26,8 +37,8 @@ def normalize_images(images_u8, dtype=jnp.float32, interpret: bool = False):
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
     out = pl.pallas_call(
-        _normalize_kernel,
-        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
+        _make_normalize_kernel(dtype),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, dtype),
         grid=(pl.cdiv(flat.shape[0], block),),
         in_specs=[pl.BlockSpec((block, flat.shape[1]), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -35,5 +46,4 @@ def normalize_images(images_u8, dtype=jnp.float32, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(flat)
-    out = out[: n * h].reshape(n, h, w, c)
-    return out.astype(dtype)
+    return out[: n * h].reshape(n, h, w, c)
