@@ -208,15 +208,19 @@ def _w_expand_adjoint(dup, we3, wo3, Cx, W):
     (R, W, 2Cx) — lanes [0:Cx] = d(even), [Cx:2Cx] = d(odd).  Returns
     dh (R, W, Cx) f32.  Forward: even_j = (1-we_j)·h_{max(j-1,0)} +
     we_j·h_j, odd_j = (1-wo_j)·h_j + wo_j·h_{min(j+1,W-1)}."""
-    dupf = dup.astype(jnp.float32)
-    deven = dupf[:, :, :Cx]
     if Cx % 128 == 0 or jax.default_backend() == "cpu":
-        dodd = dupf[:, :, Cx:]
+        # slice-then-convert: converting the full 2Cx array first keeps
+        # an extra (R, W, 2Cx) f32 live and pushed the F=512 stage's
+        # backward past its scoped-VMEM cap
+        deven = dup[:, :, :Cx].astype(jnp.float32)
+        dodd = dup[:, :, Cx:].astype(jnp.float32)
     else:
         # Cx = 64 (up_conv head): the lane-offset-64 slice poisons the
         # layout of the column-shift concats below (Mosaic rejects
         # lane-offset concat operands) — a half-width lane roll of the
         # 2-block array lands the odd half at offset 0 instead
+        dupf = dup.astype(jnp.float32)
+        deven = dupf[:, :, :Cx]
         dodd = pltpu.roll(dupf, Cx, axis=2)[:, :, :Cx]
     a = deven * we3
     b = deven - a                               # (1-we)·deven
@@ -503,21 +507,11 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
       skip, skip, skip, x, x, x, g, g, g, out, out, out, y1, y1, y1)
     dsk, dxp, dkd1, dke1, dkd2, dke2, dbs = res
 
-    # overlap-add of the per-tile dx windows: tile i covers x rows
-    # i·half − 2 .. i·half + half + 2 (2-row halos each side; the
-    # outermost halo rows carry exact zeros by construction of L)
-    half = T // 2
-    dx = dxp[:, :, 2:2 + half].reshape(B, H, W, Cx)
-    if nblk > 1:
-        zlo = jnp.concatenate(
-            [jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt),
-             dxp[:, 1:, 0:2]], axis=2).reshape(B, H - half, W, Cx)
-        dx = dx + jnp.pad(zlo, ((0, 0), (0, half), (0, 0), (0, 0)))
-        zhi = jnp.concatenate(
-            [dxp[:, :-1, 2 + half:4 + half],
-             jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt)],
-            axis=2).reshape(B, H - half, W, Cx)
-        dx = dx + jnp.pad(zhi, ((0, 0), (half, 0), (0, 0), (0, 0)))
+    # overlap-add of the per-tile dx windows (tile i covers x rows
+    # i·half − 2 .. i·half + half + 2, 2-row halos each side) as one
+    # Pallas pass: the jnp slice/pad/add composition materializes
+    # ~2 ms/step of pad+add fusions across the four stages
+    dx = _overlap_add_windows(dxp, B, H, W, Cx, T, win, dt, interpret)
 
     # paired-space → natural weight grads (exact adjoint of _pair_weights)
     dk1 = _unpair_wgrad(dkd1, dke1, (3, 3, Cp, F), Cs, F)
@@ -867,6 +861,27 @@ def _repack_wgrad(dkd, dkeo, dkee, dkup, Cs, Cx, F, interpret):
     )(*args)
 
 
+def _overlap_add_jnp(dxp, B, H, W, Cx, T, dt, nblk):
+    """jnp overlap-add of the per-tile dx windows — kept for the deepest
+    wide stage (F = 512), whose backward kernel sits within 0.3 MB of the
+    scoped-VMEM cap: routing dxp through another Pallas consumer nudges
+    its operand staging over the limit.  The pad+add fusions are cheap at
+    that stage's 64² resolution (~0.05 ms/step)."""
+    half = T // 2
+    dx = dxp[:, :, 2:2 + half].reshape(B, H, W, Cx)
+    if nblk > 1:
+        zlo = jnp.concatenate(
+            [jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt),
+             dxp[:, 1:, 0:2]], axis=2).reshape(B, H - half, W, Cx)
+        dx = dx + jnp.pad(zlo, ((0, 0), (0, half), (0, 0), (0, 0)))
+        zhi = jnp.concatenate(
+            [dxp[:, :-1, 2 + half:4 + half],
+             jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt)],
+            axis=2).reshape(B, H - half, W, Cx)
+        dx = dx + jnp.pad(zhi, ((0, 0), (half, 0), (0, 0), (0, 0)))
+    return dx
+
+
 def _overlap_add_windows(dxp, B, H, W, Cx, T, win, dt, interpret):
     """Overlap-add the per-tile dx windows (B, nblk, win, W, Cx) into
     (B, H, W, Cx) as one tiny Pallas pass.  The jnp slice+pad+add
@@ -1144,7 +1159,10 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # 102 MB: the F=512 stage sits ~0.3 MB over 100 once its
+            # dxp feeds another Pallas consumer; a small bump (below
+            # Mosaic's re-buffering threshold) absorbs it (v5e: 128 MB)
+            vmem_limit_bytes=102 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
       jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),
@@ -1154,18 +1172,12 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
       skip, skip, skip, x, x, x, g, g, g, out, out, out, y1p, y1p, y1p)
     (dsk, dxp, dkd1, dkeo1, dkee1, dkd2, dkeo2, dkee2, dbs) = res
 
-    half = T // 2
-    dx = dxp[:, :, 2:2 + half].reshape(B, H, W, Cx)
-    if nblk > 1:
-        zlo = jnp.concatenate(
-            [jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt),
-             dxp[:, 1:, 0:2]], axis=2).reshape(B, H - half, W, Cx)
-        dx = dx + jnp.pad(zlo, ((0, 0), (0, half), (0, 0), (0, 0)))
-        zhi = jnp.concatenate(
-            [dxp[:, :-1, 2 + half:4 + half],
-             jnp.zeros((B, nblk - 1, half - 2, W, Cx), dt)],
-            axis=2).reshape(B, H - half, W, Cx)
-        dx = dx + jnp.pad(zhi, ((0, 0), (half, 0), (0, 0), (0, 0)))
+    # overlap-add as one Pallas pass for F < 512 (see _overlap_add_jnp
+    # for why the deepest stage keeps the jnp composition)
+    if F < 512:
+        dx = _overlap_add_windows(dxp, B, H, W, Cx, T, win, dt, interpret)
+    else:
+        dx = _overlap_add_jnp(dxp, B, H, W, Cx, T, dt, nblk)
 
     dk1 = _unpack_wgrad_eo(dkd1, dkeo1, dkee1, (3, 3, Cp, F))
     dk2 = _unpack_wgrad_eo(dkd2, dkeo2, dkee2, (3, 3, F, F))

@@ -475,7 +475,7 @@ def _paired_pieces(x, te, to, w2, c):
 
 
 def _final_reduce_kernel_p(c, nc_pad, threshold, dt):
-    def kernel(f_ref, te_ref, to_ref, w2_ref, wfb_ref, b2_ref, out_ref):
+    def kernel(f_ref, tgt_ref, w2_ref, wfb_ref, b2_ref, out_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -486,8 +486,8 @@ def _final_reduce_kernel_p(c, nc_pad, threshold, dt):
         x = jnp.dot(f, wfb_ref[...],
                     preferred_element_type=jnp.float32).astype(dt)
         x = (x + b2_ref[...].astype(dt)).astype(jnp.float32)
-        te = te_ref[...].astype(jnp.int32)
-        to = to_ref[...].astype(jnp.int32)
+        tgt = tgt_ref[...].astype(jnp.int32)              # (B2, 2) int8
+        te, to = tgt[:, :1], tgt[:, 1:2]
         w2 = w2_ref[...]
         half, onehot, valid, real, logp, probs = _paired_pieces(
             x, te, to, w2, c)
@@ -514,7 +514,7 @@ def _final_reduce_kernel_p(c, nc_pad, threshold, dt):
 
 
 def _final_grad_kernel_p(c, cf, dt):
-    def kernel(f_ref, te_ref, to_ref, w2_ref, wfb_ref, b2_ref,
+    def kernel(f_ref, tgt_ref, w2_ref, wfb_ref, b2_ref,
                coefA2_ref, coefB2_ref, scal_ref, dfeat_ref, acc_ref):
         i = pl.program_id(0)
 
@@ -526,8 +526,8 @@ def _final_grad_kernel_p(c, cf, dt):
         x = jnp.dot(f, wfb_ref[...],
                     preferred_element_type=jnp.float32).astype(dt)
         x = (x + b2_ref[...].astype(dt)).astype(jnp.float32)
-        te = te_ref[...].astype(jnp.int32)
-        to = to_ref[...].astype(jnp.int32)
+        tgt = tgt_ref[...].astype(jnp.int32)              # (B2, 2) int8
+        te, to = tgt[:, :1], tgt[:, 1:2]
         w2 = w2_ref[...]
         half, onehot, valid, real, logp, probs = _paired_pieces(
             x, te, to, w2, c)
@@ -563,14 +563,15 @@ def _final_grad_kernel_p(c, cf, dt):
 def _flatten_feats_paired(feats, cf, target, c):
     rows2 = int(np.prod(feats.shape[:-1]))            # pixel pairs
     flat = feats.reshape(rows2, 2 * cf)
+    # ONE (rows, 2) int8 operand; the kernels slice the halves in-VMEM.
+    # A host-side split wrote two more lane-padded (rows, 1) s8 arrays
+    # (128x their logical size) — ~0.8 ms/step at 512px/bs8
     tgt2 = target.reshape(rows2, 2).astype(jnp.int8)
-    te, to = tgt2[:, :1], tgt2[:, 1:2]
     pad = (-rows2) % _FBLK2
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
-        te = jnp.pad(te, ((0, pad), (0, 0)), constant_values=c + 1)
-        to = jnp.pad(to, ((0, pad), (0, 0)), constant_values=c + 1)
-    return flat, te, to, rows2
+        tgt2 = jnp.pad(tgt2, ((0, pad), (0, 0)), constant_values=c + 1)
+    return flat, tgt2, rows2
 
 
 def _block_diag_w(wf, dt):
@@ -661,7 +662,7 @@ def _final_fwd_impl(feats, kernel, bias, target, cls_weights, num_classes,
 def _final_fwd_paired(feats, wf, bias, target, w, c, nc_pad, cf,
                       with_dice, interpret):
     dt = feats.dtype
-    flat, te, to, rows2 = _flatten_feats_paired(feats, cf, target, c)
+    flat, tgt2, rows2 = _flatten_feats_paired(feats, cf, target, c)
     w2 = jnp.concatenate([w, w], axis=1)              # (1, 2c)
     wfb = _block_diag_w(wf, dt)
     b2 = jnp.concatenate([bias, bias]).reshape(1, 2 * c)
@@ -672,9 +673,7 @@ def _final_fwd_paired(feats, wf, bias, target, w, c, nc_pad, cf,
         in_specs=[
             pl.BlockSpec((_FBLK2, 2 * cf), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_FBLK2, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_FBLK2, 1), lambda i: (i, 0),
+            pl.BlockSpec((_FBLK2, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -688,7 +687,7 @@ def _final_fwd_paired(feats, wf, bias, target, w, c, nc_pad, cf,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(flat, te, to, w2, wfb, b2)
+    )(flat, tgt2, w2, wfb, b2)
     s_wnll, s_w = out[0, 0], out[0, 1]
 
     def fold(row):                                    # halves → per-class
@@ -769,7 +768,7 @@ def _final_vjp_bwd(cls_weights, num_classes, with_dice, interpret, res, g):
 def _final_vjp_bwd_paired(feats, kernel, bias, target, wf, w, c, nc_pad,
                           cf, s_w, A, B, gl, interpret):
     dt = feats.dtype
-    flat, te, to, rows2 = _flatten_feats_paired(feats, cf, target, c)
+    flat, tgt2, rows2 = _flatten_feats_paired(feats, cf, target, c)
     w2 = jnp.concatenate([w, w], axis=1)
     wfb = _block_diag_w(wf, dt)
     b2 = jnp.concatenate([bias, bias]).reshape(1, 2 * c)
@@ -787,9 +786,7 @@ def _final_vjp_bwd_paired(feats, kernel, bias, target, wf, w, c, nc_pad,
         in_specs=[
             pl.BlockSpec((_FBLK2, 2 * cf), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_FBLK2, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_FBLK2, 1), lambda i: (i, 0),
+            pl.BlockSpec((_FBLK2, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -812,7 +809,7 @@ def _final_vjp_bwd_paired(feats, kernel, bias, target, wf, w, c, nc_pad,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(flat, te, to, w2, wfb, b2, A2, B2,
+    )(flat, tgt2, w2, wfb, b2, A2, B2,
       (gl / jnp.maximum(s_w, 1e-12)).reshape(1, 1))
     dfeat = dfeat[:rows2].reshape(feats.shape)
     # fold the block-diagonal accumulator: half-1 block + half-2 block
