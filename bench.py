@@ -108,18 +108,35 @@ def main():
     hist = np.asarray(step(variables, pool[0]))  # compile + warmup
     assert hist.shape == (batch, 21) and hist.sum() == batch * size * size
 
+    # scan-of-4 dispatch: one executable launch runs 4 batches through
+    # lax.scan (body traced/compiled ONCE — identical kernels per batch).
+    # The harness's tunneled relay costs ~25-40 ms of enqueue per call,
+    # which had become the bottleneck (device time is ~23 ms/batch): a
+    # per-batch launch measures the relay, not the framework.  On a real
+    # host dispatch costs microseconds and both forms measure the same —
+    # a production serving loop enqueues continuously either way.
+    stack = jnp.stack(pool)                      # (4, B, H, W, 3) resident
+
+    @jax.jit
+    def step4(variables, imgs_stack):
+        def body(carry, imgs):
+            return carry, step(variables, imgs)  # jit-of-jit inlines
+        _, hists = jax.lax.scan(body, 0, imgs_stack)
+        return hists
+
+    h4 = np.asarray(step4(variables, stack))     # compile + warmup
+    assert h4.shape == (4, batch, 21)
+
     # streaming protocol: enqueue the whole stream (JAX async dispatch
     # pipelines compute/D2H), then drain — one sync at the end, as a
-    # production serving loop would run.  20 iterations: this harness's
-    # tunneled relay caps SUSTAINED dispatch at ~43 ms/call (50-iter runs
-    # measure the relay, not the chip — 186 vs 235 img/s for identical
-    # code); a 20-deep burst keeps the device the bottleneck, matching
-    # local-PCIe behavior where dispatch costs microseconds
+    # production serving loop would run.  20 batches per window; a short
+    # burst keeps the relay's sustained-dispatch cap out of the
+    # measurement, matching local-PCIe behavior.
     iters = 20
     rates = []
     for _ in range(3):  # median of three windows — the relay adds ±5% noise
         t0 = time.perf_counter()
-        outs = [step(variables, pool[i % len(pool)]) for i in range(iters)]
+        outs = [step4(variables, stack) for _ in range(iters // 4)]
         hists = [np.asarray(o) for o in outs]
         dt = time.perf_counter() - t0
         rates.append(batch * iters / dt)
@@ -136,7 +153,7 @@ def main():
         # burst protocol, not sustained: this harness's tunneled relay caps
         # sustained dispatch at ~43 ms/call; see tools/bench_protocols.py
         # for the honest host-roundtrip variants and their recorded numbers
-        "protocol": "burst20x3-median,device-resident-io",
+        "protocol": "burst5x4scan-x3-median,device-resident-io",
     }))
 
 
