@@ -208,6 +208,43 @@ def test_train_wide_deep_stage_vjp():
         assert rel < 2e-5, f"grad {i}: rel {rel}"
 
 
+def test_paired_lowres_bwd_matches_reference_grads():
+    """The low-res PAIRED backward (the up1 stage,
+    kernels/decoder_train.py::_bwd_kernel_paired_lowres) is grad-exact vs
+    the XLA reference at up1-like lane shapes (2F and Cx 128-multiples)."""
+    from tpu_unet.core import fusion
+    from tpu_unet.kernels.decoder_fuse import (fused_unetup_train_paired,
+                                               reference_unetup)
+
+    rng = np.random.RandomState(11)
+    for (B, H, W, Cs, Cx, F) in [(1, 8, 8, 64, 128, 64),
+                                 (1, 24, 4, 64, 128, 64)]:
+        skip = jnp.asarray(rng.randn(B, 2 * H, 2 * W, Cs).astype(np.float32))
+        x = jnp.asarray(rng.randn(B, H, W, Cx).astype(np.float32))
+        k1 = jnp.asarray((rng.randn(3, 3, Cs + Cx, F) * 0.05
+                          ).astype(np.float32))
+        b1 = jnp.asarray((rng.randn(F) * 0.05).astype(np.float32))
+        k2 = jnp.asarray((rng.randn(3, 3, F, F) * 0.05).astype(np.float32))
+        b2 = jnp.asarray((rng.randn(F) * 0.05).astype(np.float32))
+
+        def loss(f):
+            return lambda *a: jnp.sum(jnp.sin(f(*a) * 0.05))
+
+        args = (skip, x, k1, b1, k2, b2)
+        gr = jax.grad(loss(reference_unetup), argnums=tuple(range(6)))(*args)
+        fusion.set_lowres_bwd_paired(True)
+        try:
+            gn = jax.grad(loss(fused_unetup_train_paired),
+                          argnums=tuple(range(6)))(*args)
+        finally:
+            fusion.set_lowres_bwd_paired(None)
+        for name, u, v in zip("dskip dx dk1 db1 dk2 db2".split(), gn, gr):
+            scale = max(float(np.max(np.abs(np.asarray(v)))), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(u), np.asarray(v), rtol=5e-4,
+                atol=5e-4 * scale, err_msg=f"paired lowres bwd grad {name}")
+
+
 def test_wide_lowres_bwd_matches_reference_grads():
     """The low-res wide BACKWARD (opt-in: measured neutral-to-negative
     on v5e — see core/fusion.use_lowres_bwd) stays grad-exact vs the

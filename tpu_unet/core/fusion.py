@@ -46,6 +46,7 @@ _overrides: dict[str, bool | None] = {
     "lowres_up": None,
     "lowres_up_paired": None,
     "lowres_bwd": None,
+    "lowres_bwd_paired": None,
 }
 
 
@@ -156,6 +157,29 @@ def use_lowres_bwd() -> bool:
     if val is not None:
         return val.lower() not in _TRUTHY_OFF
     return False
+
+
+def set_lowres_bwd_paired(on: bool | None) -> None:
+    """Force the low-res PAIRED BACKWARD (the F < 128 up1 stage) on/off
+    (``None`` restores auto)."""
+    _overrides["lowres_bwd_paired"] = on
+
+
+def use_lowres_bwd_paired() -> bool:
+    """Low-res up path in the PAIRED decoder BACKWARD (the F < 128 up1
+    stage, kernels/decoder_train.py ``_bwd_kernel_paired_lowres``).
+
+    Unlike the wide stages (where the low-res backward measured neutral,
+    :func:`use_lowres_bwd`), up1's backward is dominated by the VPU
+    chains the decomposition removes — the full-res dup dgrad conv, the
+    W-expand adjoint, and the cc up-half recompute (H-lerp + W-expand)
+    all at 512² rows.  Default: on for TPU."""
+    if _overrides.get("lowres_bwd_paired") is not None:
+        return _overrides["lowres_bwd_paired"]
+    val = os.environ.get("TPU_UNET_LOWRES_BWD_PAIRED")
+    if val is not None:
+        return val.lower() not in _TRUTHY_OFF
+    return _on_tpu()
 
 
 def use_lowres_up_paired() -> bool:

@@ -431,6 +431,14 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
     zs = jnp.zeros((2 * Cs,), dt)
     zu = jnp.zeros((2 * Cx,), dt)
 
+    from tpu_unet.core import fusion
+    if (fusion.use_lowres_bwd_paired() and (2 * F) % 128 == 0
+            and Cx % 128 == 0):
+        return _bwd_paired_lowres_call(
+            g, out, y1, skip, x, k1, B, H2, F, Cp, Cx, Cs, H, W, dt,
+            T, E, win, hw, hsel, validx, skv, rv,
+            k2f_d, k2f_e, zf, k1s_d, k1s_e, zs, interpret)
+
     nb = H2 // T - 1
     nbx = H // (T // 2) - 1
     grid = (B, H2 // T)
@@ -515,6 +523,236 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
 
     # paired-space → natural weight grads (exact adjoint of _pair_weights)
     dk1 = _unpair_wgrad(dkd1, dke1, (3, 3, Cp, F), Cs, F)
+    dk2 = _unpair_wgrad(dkd2, dke2, (3, 3, F, F), F, F)
+    db1 = dbs[0, :F] + dbs[0, F:]
+    db2 = dbs[1, :F] + dbs[1, F:]
+    return dsk, dx, dk1, db1, dk2, db2
+
+
+# ---------------------------------------------------------------------------
+# Low-res PAIRED backward — the F < 128 up1 stage.
+#
+# The v2 paired backward above is ~half VPU per row-tile (profiled 10.2
+# ms/step at 512px/bs8, ~57% of its FLOP floor): the dup dgrad conv, the
+# W-expand adjoint, and the cc up-half recompute (H-lerp + W-expand) all
+# run at the FULL 512² resolution.  The same commutation the low-res
+# forward uses (`_paired_kernel_lowres`) applies to the adjoint: the
+# H/W-lerp scalars commute with the channel contraction, so
+#
+#   dx       = Σ_ky  Wcombᵀ(Hlerpᵀ(dz1)) @ kupᵀ       (low-res rows)
+#   dkup[ky] = xsᵀ @ Wcombᵀ(Hlerpᵀ(dz1))              (low-res rows)
+#
+# — the full-res dup conv, its W/H adjoint chains, and the up-half
+# recompute all disappear; conv1's wgrad contracts only the 2Cs skip
+# lanes.  Mirrors `_bwd_kernel_wide_lowres` in the column-PAIRED layout
+# (duplicated [kx|kx] weight blocks, 7 lane-blocked coefficient maps of
+# `_lowres_col_coeffs_paired`).
+# ---------------------------------------------------------------------------
+
+from tpu_unet.kernels.decoder_fuse import _lowres_col_coeffs_paired
+
+
+def _w_comb_adjoint_paired(du, colc):
+    """Adjoint of the PAIRED low-res W-combination
+    (`_paired_kernel_lowres`): given du (R, W, 2F) f32 — the cotangent of
+    u = c0·s(P0,-1) + c1·P0 + c2·s(P1,-1) + c3·P1 + c4·s(P1,+1)
+        + c5·P2 + c6·s(P2,+1)
+    — returns dp_cat (R, W, 3·2F) = [dP0 | dP1 | dP2] (f32).  colc is the
+    same (7, W, 2F) coefficient stack the forward used."""
+    c = [colc[k][None] for k in range(7)]
+    sp = lambda v: _shift_cols_zero(v, 1)    # adjoint of shift(·, -1)
+    sm = lambda v: _shift_cols_zero(v, -1)   # adjoint of shift(·, +1)
+    dp0 = sp(c[0] * du) + c[1] * du
+    dp1 = sp(c[2] * du) + c[3] * du + sm(c[4] * du)
+    dp2 = c[5] * du + sm(c[6] * du)
+    return jnp.concatenate([dp0, dp1, dp2], axis=-1)
+
+
+def _bwd_kernel_paired_lowres(T, E, win, Cs, Cx, F, H2, W, dt):
+    def kernel(hw, hsel, validx, skv, rv, colc,
+               k2d, k2e, zf, k1sd, k1se, zs, kupt,
+               sk_p, sk_m, sk_n, x_l, x_m, x_h,
+               g_p, g_m, g_n, o_p, o_m, o_n, y_p, y_m, y_n,
+               dsk_ref, dxp_ref, dkd1_ref, dke1_ref, dkup_ref,
+               dkd2_ref, dke2_ref, db_ref):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        r0 = i * T
+
+        @pl.when((b == 0) & (i == 0))
+        def _():
+            dkd1_ref[...] = jnp.zeros_like(dkd1_ref)
+            dke1_ref[...] = jnp.zeros_like(dke1_ref)
+            dkup_ref[...] = jnp.zeros_like(dkup_ref)
+            dkd2_ref[...] = jnp.zeros_like(dkd2_ref)
+            dke2_ref[...] = jnp.zeros_like(dke2_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        def win3(p, m, n):
+            return jnp.concatenate([p[0], m[0], n[0]],
+                                   axis=0)[T - 2:2 * T + 2]
+
+        rva = rv[pl.ds(r0, T + 4)]
+        rvw = rva[:, None, :]
+        gw = win3(g_p, g_m, g_n) * rvw
+        ow = win3(o_p, o_m, o_n)
+        yw = win3(y_p, y_m, y_n) * rvw
+        g2 = jnp.where(ow.astype(jnp.float32) > 0.0, gw,
+                       jnp.zeros_like(gw))        # (T+4, W, 2F)
+        dz1 = _conv_rows(g2, T + 2, k2d, k2e, zf, dt, relu=False)
+        dz1 = jnp.where(yw[1:T + 3].astype(jnp.float32) > 0.0, dz1,
+                        jnp.zeros_like(dz1))
+        dz1 = dz1 * rva[1:T + 3][:, None, :]
+
+        dsk_ref[0] = _conv_rows(dz1, T, k1sd, k1se, zs, dt, relu=False)
+
+        # ---- LOW-RES up path: dx + conv1's up-half wgrad ----
+        dz2dc = dz1.astype(jnp.float32)[1:T + 1].reshape(T, W * 2 * F)
+        hwv = hw[pl.ds(r0, E)]
+        hsv = hsel[pl.ds(r0, E)]
+        vlv = validx[pl.ds(r0, E)]
+        xs = jnp.concatenate(
+            [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        dxs = None
+        for ky in range(3):
+            duc = _h_adjoint_rows_ky(dz2dc, hwv, hsv, vlv, T, win,
+                                     ky + 1).reshape(win, W, 2 * F)
+            dpc = _w_comb_adjoint_paired(duc, colc).astype(dt)
+            t = _mm(dpc, kupt[ky])                    # (win, W, Cx) f32
+            dxs = t if dxs is None else dxs + t
+            dkup_ref[ky] += _mmT(xs, dpc)             # (Cx, 6F)
+        dxp_ref[0, 0] = dxs.astype(dt)
+
+        # ---- conv2 wgrad: src = y1 window, dout = g2 center rows ----
+        g2c = g2[2:T + 2]
+        sh2 = _edge_cotangent(g2c)
+        dkd2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T], g2c) for ky in (0, 1, 2)])
+        dke2_ref[...] += jnp.stack(
+            [_mmT(yw[1 + ky:1 + ky + T], sh2) for ky in (0, 1, 2)])
+
+        # ---- conv1's SKIP-half wgrad: src = skip window only ----
+        sk = jnp.concatenate([sk_p[0], sk_m[0], sk_n[0]],
+                             axis=0)[T - 2:2 * T + 2]
+        sk = sk * skv[pl.ds(r0, T + 4)][:, None, :]
+        dz1c = dz1[1:T + 1]
+        sh1 = _edge_cotangent(dz1c)
+        dkd1_ref[...] += jnp.stack(
+            [_mmT(sk[1 + ky:1 + ky + T], dz1c) for ky in (0, 1, 2)])
+        dke1_ref[...] += jnp.stack(
+            [_mmT(sk[1 + ky:1 + ky + T], sh1) for ky in (0, 1, 2)])
+
+        dbs = jnp.concatenate([
+            jnp.sum(dz1c.astype(jnp.float32), axis=(0, 1)).reshape(1, 2 * F),
+            jnp.sum(g2c.astype(jnp.float32), axis=(0, 1)).reshape(1, 2 * F),
+        ], axis=0)
+        db_ref[...] += jnp.pad(dbs, ((0, db_ref.shape[0] - 2), (0, 0)))
+
+    return kernel
+
+
+def _unpack_wgrad_up_paired(dkup, Cx, F):
+    """dkup (3, Cx, 3·2F) — per-kx lane blocks of the DUPLICATED [kx|kx]
+    weight columns — back to the natural up-half tensor (3, 3, Cx, F):
+    the duplicate halves sum.  Explicit slices + stack (the
+    linear_transpose form canonicalizes to negative-pad fusions the TPU
+    fusion emitter rejects, see `_unpack_wgrad_eo`)."""
+    F2 = 2 * F
+    return jnp.stack(
+        [dkup[:, :, kx * F2:kx * F2 + F] + dkup[:, :, kx * F2 + F:(kx + 1) * F2]
+         for kx in range(3)], axis=1)
+
+
+def _bwd_paired_lowres_call(g, out, y1, skip_p, x, k1, B, H2, F, Cp, Cx,
+                            Cs, H, W, dt, T, E, win, hw, hsel, validx,
+                            skv, rv, k2f_d, k2f_e, zf, k1s_d, k1s_e, zs,
+                            interpret):
+    """pallas_call + host unpack for `_bwd_kernel_paired_lowres`."""
+    k1u = k1[:, :, Cs:, :].astype(dt)                # (3, 3, Cx, F)
+    # kupᵀ with the duplicated [kx|kx] column blocks: one transpose +
+    # concat + reshape (no slice/pad folds — the fusion-emitter-safe form)
+    kt = k1u.transpose(0, 1, 3, 2)                   # (3, 3, F, Cx)
+    kupt = jnp.concatenate([kt, kt], axis=2).reshape(3, 6 * F, Cx)
+    colc = jnp.asarray(_lowres_col_coeffs_paired(W, F)).astype(dt)
+
+    nb = H2 // T - 1
+    nbx = H // (T // 2) - 1
+    nblk = H2 // T
+    grid = (B, nblk)
+
+    def blk3(c):
+        return [
+            pl.BlockSpec((1, T, W, c),
+                         lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, W, c), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, W, c),
+                         lambda b, i: (b, jnp.minimum(i + 1, nb), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    x_specs = [
+        pl.BlockSpec((1, T // 2, W, Cx),
+                     lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T // 2, W, Cx), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T // 2, W, Cx),
+                     lambda b, i: (b, jnp.minimum(i + 1, nbx), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda b, i: (0,) * nd),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, H2, W, 2 * Cs), dt),
+        jax.ShapeDtypeStruct((B, nblk, win, W, Cx), dt),
+        jax.ShapeDtypeStruct((3, 2 * Cs, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, 2 * Cs, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, Cx, 6 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, 2 * F, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((3, 2 * F, 2 * F), jnp.float32),
+        jax.ShapeDtypeStruct((8, 2 * F), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, T, W, 2 * Cs), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, win, W, Cx), lambda b, i: (b, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const((3, 2 * Cs, 2 * F)), const((3, 2 * Cs, 2 * F)),
+        const((3, Cx, 6 * F)),
+        const((3, 2 * F, 2 * F)), const((3, 2 * F, 2 * F)),
+        const((8, 2 * F)),
+    )
+
+    kernel = _bwd_kernel_paired_lowres(T, E, win, Cs, Cx, F, H2, W, dt)
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
+        + blk3(2 * Cs) + x_specs + blk3(2 * F) * 3,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
+      jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),
+      jnp.asarray(rv).astype(dt), colc,
+      k2f_d, k2f_e, zf, k1s_d, k1s_e, zs, kupt,
+      skip_p, skip_p, skip_p, x, x, x, g, g, g, out, out, out, y1, y1, y1)
+    dsk, dxp, dkd1, dke1, dkup, dkd2, dke2, dbs = res
+
+    dx = _overlap_add_windows(dxp, B, H, W, Cx, T, win, dt, interpret)
+
+    dk1s = _unpair_wgrad(dkd1, dke1, (3, 3, Cs, F), Cs, F)
+    dk1u = _unpack_wgrad_up_paired(dkup, Cx, F)
+    dk1 = jnp.concatenate([dk1s, dk1u], axis=2)      # (3, 3, Cp, F)
     dk2 = _unpair_wgrad(dkd2, dke2, (3, 3, F, F), F, F)
     db1 = dbs[0, :F] + dbs[0, F:]
     db2 = dbs[1, :F] + dbs[1, F:]
