@@ -67,11 +67,17 @@ def _wgrad9(src, dz, row_off, T):
     j+kx-1]·dz[r, j] over the tile's T center rows.  ``src`` is the
     (T+8)-row window (center rows at offset 4), ``dz`` the center rows
     already sliced; ``row_off`` is src's window offset of dz row 0
-    minus 1 (i.e. src rows row_off+ky align with dz rows at ky-1)."""
+    minus 1 (i.e. src rows row_off+ky align with dz rows at ky-1).
+
+    The column shift rides on ``dz`` (dk[ky, kx] = Σ src[·, j']·
+    shift(dz, 1−kx)[·, j']; out-of-range terms are src·0 either way), so
+    only TWO shifted copies are built and reused across all three ky —
+    the src-side form shifted the window six times per conv (~12 extra
+    bf16 window passes per tile across the three convs)."""
+    dzs = [_shift_cols_zero(dz, 1), dz, _shift_cols_zero(dz, -1)]
     return jnp.stack([
         jnp.stack([
-            _mmT(_shift_cols_zero(src[row_off + ky:row_off + ky + T],
-                                  kx - 1), dz)
+            _mmT(src[row_off + ky:row_off + ky + T], dzs[kx])
             for kx in range(3)])
         for ky in range(3)])
 

@@ -424,162 +424,200 @@ def _flatten_feats(feats, cf, target, c):
     return flat, tgt, rows_total
 
 
-# -- paired-native variant ---------------------------------------------------
+# -- paired-native, class-TRANSPOSED variant ---------------------------------
 #
 # When the feature map arrives column-PAIRED (last dim == 2·Cf) the kernels
 # consume it as (rows/2, 2Cf) blocks DIRECTLY — for a (B, H, W/2, 2Cf)
-# {3,2,1,0} buffer that flat view is a pure bitcast (full 128-lane tiles),
-# where the natural (rows, Cf) view would be a half-lane repack copy.  The
-# classifier runs as ONE block-diagonal matmul (2Cf, 2c) producing both
-# pixels' logits side by side; softmax/CE/dice reductions use masked-half
-# lane arithmetic (no in-kernel lane slicing, which Mosaic restricts).
-# Per-class sums come out as (·, 2c) rows whose halves the host folds.
-# Net: half the rows, full lanes — ~2× less VPU work and HBM traffic than
-# the natural path on the same pixels.
+# {3,2,1,0} buffer that flat view is a pure bitcast (full 128-lane tiles).
+#
+# Round-3 profiling of the previous paired variant (logits as (rows, 2c)
+# with the softmax/CE/dice math on 42-of-128 lanes) showed it at ~27% of
+# its floor: 5.6 ms/step fwd+bwd at 512px/bs8, almost all VPU passes at
+# 33% lane occupancy, plus a 0.8 ms lane-padded (rows, 2) s8 target
+# reshape.  This variant TRANSPOSES the classes onto sublanes:
+#
+#   xT = Wst · fᵀ  — ONE stacked matmul per block producing (2·cp, R):
+#        rows [0, cp) are the even pixel's class logits, rows [cp, 2cp)
+#        the odd pixel's (cp = num_classes rounded up to the 8-sublane
+#        tile).  Every elementwise pass then runs on (48, R) at ~88%
+#        sublane occupancy with R = 8192 full lanes; softmax reductions
+#        are short sublane trees instead of 128-lane trees; log and the
+#        reciprocal run on (1, R) row vectors only.
+#
+# Targets arrive as two DENSE (nblk, R) s8 operands (even/odd pixels,
+# host-sliced) — no lane-padded (rows, 2) operand, so the 0.8 ms padded
+# reshape disappears.  The backward needs just three stacked matmuls
+# (logit recompute, dfeat, dW) — K/N = 2cp is one MXU tile either way,
+# so stacking even|odd halves halves the matmul count vs block-diagonal.
 
-_FBLK2 = 4096
+_FBLKT = 8192
 
 
-def _half_arrays(x_shape, c):
-    lane = jax.lax.broadcasted_iota(jnp.int32, x_shape, 1)
-    half = (lane >= c).astype(jnp.int32)
-    ci = lane - half * c
-    return lane, half, ci
+def _tp_pieces(x, te, to, cp, c, threshold):
+    """Shared per-block transposed math on x (2cp, R) f32.
 
-
-def _half_reduce(v, half, which):
-    return jnp.sum(jnp.where(half == which, v, 0.0), axis=-1, keepdims=True)
-
-
-def _paired_pieces(x, te, to, w2, c):
-    """Shared per-block paired math: per-half softmax + one-hot masks.
-
-    x (B2, 2c) f32 holds both pixels' logits side by side; te/to are the
-    even/odd targets (B2, 1) int32."""
-    lane, half, ci = _half_arrays(x.shape, c)
-    t = jnp.where(half == 0, te, to)                  # (B2, 2c)
-    onehot = (ci == t).astype(jnp.float32)
+    Returns (onehot, valid, real, pt, logp, probs) all (2cp, R) f32 —
+    padding rows (class index >= c) carry exact zeros in onehot/probs."""
+    R = x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    half_o = row >= cp
+    cls = row - jnp.where(half_o, cp, 0)
+    rowvalid = cls < c
+    t = jnp.where(half_o, jnp.broadcast_to(to, x.shape),
+                  jnp.broadcast_to(te, x.shape))
+    onehot = ((cls == t) & rowvalid).astype(jnp.float32)
     valid = (t < c).astype(jnp.float32)
     real = (t <= c).astype(jnp.float32)
     neg = jnp.float32(-1e30)
-    m1 = jnp.max(jnp.where(half == 0, x, neg), axis=-1, keepdims=True)
-    m2 = jnp.max(jnp.where(half == 1, x, neg), axis=-1, keepdims=True)
-    m = jnp.where(half == 0, m1, m2)
-    ex = jnp.exp(x - m)
-    s1 = _half_reduce(ex, half, 0)
-    s2 = _half_reduce(ex, half, 1)
-    s = jnp.where(half == 0, s1, s2)
-    logp = x - m - jnp.log(s)
-    probs = ex / s
-    return half, onehot, valid, real, logp, probs
+    xm = jnp.where(rowvalid, x, neg)
+
+    def per_half(v, red):
+        a = red(v[:cp], axis=0, keepdims=True)
+        b = red(v[cp:], axis=0, keepdims=True)
+        return jnp.concatenate([jnp.broadcast_to(a, (cp, R)),
+                                jnp.broadcast_to(b, (cp, R))], axis=0)
+
+    m = per_half(xm, jnp.max)
+    ex = jnp.where(rowvalid, jnp.exp(x - m), 0.0)
+    # the transcendental/divide tail runs on (1, R) rows only
+    s_e = jnp.sum(ex[:cp], axis=0, keepdims=True)
+    s_o = jnp.sum(ex[cp:], axis=0, keepdims=True)
+    logs = jnp.concatenate([
+        jnp.broadcast_to(jnp.log(s_e), (cp, R)),
+        jnp.broadcast_to(jnp.log(s_o), (cp, R))], axis=0)
+    sinv = jnp.concatenate([
+        jnp.broadcast_to(1.0 / s_e, (cp, R)),
+        jnp.broadcast_to(1.0 / s_o, (cp, R))], axis=0)
+    logp = x - m - logs
+    probs = ex * sinv
+    pt = (probs > threshold).astype(jnp.float32) * real
+    return onehot, valid, real, pt, logp, probs, per_half
 
 
-def _final_reduce_kernel_p(c, nc_pad, threshold, dt):
-    def kernel(f_ref, tgt_ref, w2_ref, wfb_ref, b2_ref, out_ref):
+def _final_reduce_kernel_pt(c, cp, threshold, dt):
+    def kernel(te_ref, to_ref, wst_ref, bcol_ref, f_ref, out_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        f = f_ref[...]                                    # (B2, 2Cf) dt
-        x = jnp.dot(f, wfb_ref[...],
-                    preferred_element_type=jnp.float32).astype(dt)
-        x = (x + b2_ref[...].astype(dt)).astype(jnp.float32)
-        tgt = tgt_ref[...].astype(jnp.int32)              # (B2, 2) int8
-        te, to = tgt[:, :1], tgt[:, 1:2]
-        w2 = w2_ref[...]
-        half, onehot, valid, real, logp, probs = _paired_pieces(
-            x, te, to, w2, c)
-        # w_pix·nll == Σ_lane onehot·w·(−logp) (one-hot selects lane t)
-        pt = (probs > threshold).astype(jnp.float32) * real
+        f = f_ref[...]                                    # (R, 2Cf) dt
+        x = jax.lax.dot_general(
+            wst_ref[...], f, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (2cp, R)
+        x = x + bcol_ref[...]
+        te = te_ref[0].astype(jnp.int32)                  # (1, R)
+        to = to_ref[0].astype(jnp.int32)
+        onehot, valid, real, pt, logp, probs, _ = _tp_pieces(
+            x, te, to, cp, c, threshold)
 
-        def cpad(v):
-            return jnp.pad(v, ((0, 0), (0, nc_pad - v.shape[-1])))
+        def lsum(v):                                      # (2cp,R) → (cp,1)
+            t2 = jnp.sum(v, axis=1, keepdims=True)
+            return t2[:cp] + t2[cp:]
 
-        scal = jnp.concatenate([
-            jnp.sum(onehot * w2 * (-logp) * valid).reshape(1, 1),
-            jnp.sum(onehot * w2 * valid).reshape(1, 1)], axis=1)
-        row = jnp.concatenate([
-            cpad(scal),
-            cpad(jnp.sum(probs * onehot, axis=0, keepdims=True)),
-            cpad(jnp.sum(probs * real, axis=0, keepdims=True)),
-            cpad(jnp.sum(onehot, axis=0, keepdims=True)),
-            cpad(jnp.sum(pt * onehot, axis=0, keepdims=True)),
-            cpad(jnp.sum(pt, axis=0, keepdims=True)),
-        ], axis=0)
-        out_ref[...] += row
+        row7 = jnp.concatenate([
+            lsum(onehot * (-logp) * valid),               # per-class nll
+            lsum(onehot * valid),                         # per-class count
+            lsum(probs * onehot),                         # tp
+            lsum(probs * real),                           # psum
+            lsum(onehot),                                 # tsum
+            lsum(pt * onehot),                            # tpt
+            lsum(pt),                                     # ptsum
+        ], axis=1)                                        # (cp, 7)
+        out_ref[...] += jnp.pad(
+            row7, ((0, 0), (0, out_ref.shape[1] - row7.shape[1])))
 
     return kernel
 
 
-def _final_grad_kernel_p(c, cf, dt):
-    def kernel(f_ref, tgt_ref, w2_ref, wfb_ref, b2_ref,
-               coefA2_ref, coefB2_ref, scal_ref, dfeat_ref, acc_ref):
+def _final_grad_kernel_pt(c, cp, cf, acc_rows, dt):
+    def kernel(te_ref, to_ref, wst_ref, bcol_ref, wcol_ref,
+               coefA_ref, coefB_ref, scal_ref, f_ref, dfeat_ref, acc_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        f = f_ref[...]
-        x = jnp.dot(f, wfb_ref[...],
-                    preferred_element_type=jnp.float32).astype(dt)
-        x = (x + b2_ref[...].astype(dt)).astype(jnp.float32)
-        tgt = tgt_ref[...].astype(jnp.int32)              # (B2, 2) int8
-        te, to = tgt[:, :1], tgt[:, 1:2]
-        w2 = w2_ref[...]
-        half, onehot, valid, real, logp, probs = _paired_pieces(
-            x, te, to, w2, c)
-        # per-pixel CE weight w[t]·valid, broadcast back to the half's lanes
-        wp = onehot * w2 * valid
-        wp1 = _half_reduce(wp, half, 0)
-        wp2 = _half_reduce(wp, half, 1)
-        w_pix = jnp.where(half == 0, wp1, wp2) * valid
+        f = f_ref[...]                                    # (R, 2Cf) dt
+        x = jax.lax.dot_general(
+            wst_ref[...], f, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (2cp, R)
+        x = x + bcol_ref[...]
+        te = te_ref[0].astype(jnp.int32)
+        to = to_ref[0].astype(jnp.int32)
+        onehot, valid, real, pt, logp, probs, per_half = _tp_pieces(
+            x, te, to, cp, c, 0.5)
+        # per-pixel CE weight w[target]·valid: the one-hot row selects it,
+        # then the per-half column sum broadcasts it back to all classes
+        w_pix = per_half(onehot * wcol_ref[...], jnp.sum) * valid
         g_ce = w_pix * (probs - onehot) * scal_ref[0, 0]
-        dldp = coefA2_ref[...] * onehot + coefB2_ref[...]
+        dldp = coefA_ref[...] * onehot + coefB_ref[...]
         dp = dldp * probs
-        i1 = _half_reduce(dp, half, 0)
-        i2 = _half_reduce(dp, half, 1)
-        inner = jnp.where(half == 0, i1, i2)
+        inner = per_half(dp, jnp.sum)
         g_dice = probs * (dldp - inner)
-        dlog = (g_ce + g_dice) * real                     # (B2, 2c) f32
+        dlog = ((g_ce + g_dice) * real).astype(dt)        # (2cp, R)
 
-        # dfeat = dlog @ blockdiag(W)ᵀ → (B2, 2Cf) paired
+        # dfeat (R, 2Cf) and dW (2Cf, 2cp) as stacked full-K matmuls
         dfeat_ref[...] = jax.lax.dot_general(
-            dlog, wfb_ref[...].astype(jnp.float32),
-            (((1,), (1,)), ((), ()))).astype(dt)
+            dlog, wst_ref[...], (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
         dw = jax.lax.dot_general(
-            f.astype(jnp.float32), dlog, (((0,), (0,)), ((), ())))
-        db = jnp.sum(dlog, axis=0, keepdims=True)
-        block = jnp.concatenate([dw, db], axis=0)         # (2Cf+1, 2c)
-        block = jnp.pad(block, ((0, acc_ref.shape[0] - 2 * cf - 1),
-                                (0, acc_ref.shape[1] - block.shape[1])))
-        acc_ref[...] += block
+            f, dlog, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (2Cf, 2cp)
+        dbcol = jnp.sum(dlog.astype(jnp.float32), axis=1, keepdims=True)
+        block = jnp.concatenate([
+            jnp.pad(dw, ((0, acc_rows - 2 * cf), (0, 0))),
+            jnp.pad(dbcol, ((0, acc_rows - 2 * cp), (0, 0)))], axis=1)
+        acc_ref[...] += jnp.pad(
+            block, ((0, 0), (0, acc_ref.shape[1] - block.shape[1])))
 
     return kernel
 
 
-def _flatten_feats_paired(feats, cf, target, c):
+def _flatten_feats_pt(feats, cf, target, c):
+    """Paired feature flat view + DENSE even/odd target operands.
+
+    Returns (flat (rowsp, 2Cf), te (nblk, R) s8, to (nblk, R) s8, rows2).
+    The target slices compile to one dense s8 fusion each (~1 MB at
+    512px/bs8) — the old (rows, 2) s8 operand was lane-padded 2→128 in
+    HBM and its reshape alone cost ~0.8 ms/step."""
     rows2 = int(np.prod(feats.shape[:-1]))            # pixel pairs
     flat = feats.reshape(rows2, 2 * cf)
-    # ONE (rows, 2) int8 operand; the kernels slice the halves in-VMEM.
-    # A host-side split wrote two more lane-padded (rows, 1) s8 arrays
-    # (128x their logical size) — ~0.8 ms/step at 512px/bs8
-    tgt2 = target.reshape(rows2, 2).astype(jnp.int8)
-    pad = (-rows2) % _FBLK2
+    tfl = target.reshape(rows2, 2)
+    te = tfl[:, 0].astype(jnp.int8)
+    to = tfl[:, 1].astype(jnp.int8)
+    pad = (-rows2) % _FBLKT
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
-        tgt2 = jnp.pad(tgt2, ((0, pad), (0, 0)), constant_values=c + 1)
-    return flat, tgt2, rows2
+        te = jnp.pad(te, (0, pad), constant_values=c + 1)
+        to = jnp.pad(to, (0, pad), constant_values=c + 1)
+    nblk = flat.shape[0] // _FBLKT
+    # (nblk, 1, R): the only blockable layout for a per-block row vector —
+    # a 2D (nblk, R) array would need a (1, R) block, which violates the
+    # 8-sublane block rule; with the singleton middle dim the block's
+    # last-two dims equal/divide the array's (1, R % 128 == 0)
+    return (flat, te.reshape(nblk, 1, _FBLKT), to.reshape(nblk, 1, _FBLKT),
+            rows2)
 
 
-def _block_diag_w(wf, dt):
+def _stacked_w(wf, cp, dt):
+    """(Cf, c) → (2Cf, 2cp): columns [0, cp) classify the EVEN pixel from
+    feature rows [0, Cf), columns [cp, 2cp) the ODD pixel from rows
+    [Cf, 2Cf); class columns c..cp-1 are zero."""
     cf, c = wf.shape
-    z = jnp.zeros_like(wf)
+    z = jnp.zeros((cf, cp), wf.dtype)
+    wp = jnp.pad(wf, ((0, 0), (0, cp - c)))
     return jnp.concatenate([
-        jnp.concatenate([wf, z], axis=1),
-        jnp.concatenate([z, wf], axis=1)], axis=0).astype(dt)  # (2Cf, 2c)
+        jnp.concatenate([wp, z], axis=1),
+        jnp.concatenate([z, wp], axis=1)], axis=0).astype(dt)  # (2Cf, 2cp)
+
+
+def _col2(v, cp, c, dtype=jnp.float32):
+    """Per-class row vector (c,) → stacked column (2cp, 1)."""
+    vp = jnp.pad(v.reshape(-1).astype(dtype), (0, cp - c))
+    return jnp.concatenate([vp, vp]).reshape(2 * cp, 1)
 
 
 def final_ce_dice_loss_grad(feats, kernel, bias, target, cls_weights,
@@ -662,39 +700,38 @@ def _final_fwd_impl(feats, kernel, bias, target, cls_weights, num_classes,
 def _final_fwd_paired(feats, wf, bias, target, w, c, nc_pad, cf,
                       with_dice, interpret):
     dt = feats.dtype
-    flat, tgt2, rows2 = _flatten_feats_paired(feats, cf, target, c)
-    w2 = jnp.concatenate([w, w], axis=1)              # (1, 2c)
-    wfb = _block_diag_w(wf, dt)
-    b2 = jnp.concatenate([bias, bias]).reshape(1, 2 * c)
+    cp = _round_up(c, 8)
+    flat, te2, to2, rows2 = _flatten_feats_pt(feats, cf, target, c)
+    wst = _stacked_w(wf, cp, dt)                      # (2Cf, 2cp)
+    bcol = _col2(bias, cp, c)                         # (2cp, 1) f32
     out = pl.pallas_call(
-        _final_reduce_kernel_p(c, nc_pad, 0.5, dt),
-        out_shape=jax.ShapeDtypeStruct((6, nc_pad), jnp.float32),
-        grid=(flat.shape[0] // _FBLK2,),
+        _final_reduce_kernel_pt(c, cp, 0.5, dt),
+        out_shape=jax.ShapeDtypeStruct((cp, 128), jnp.float32),
+        grid=(flat.shape[0] // _FBLKT,),
         in_specs=[
-            pl.BlockSpec((_FBLK2, 2 * cf), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, _FBLKT), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_FBLK2, 2), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, _FBLKT), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+            pl.BlockSpec((2 * cf, 2 * cp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * cf, 2 * c), lambda i: (0, 0),
+            pl.BlockSpec((2 * cp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+            pl.BlockSpec((_FBLKT, 2 * cf), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((6, nc_pad), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((cp, 128), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(flat, tgt2, w2, wfb, b2)
-    s_wnll, s_w = out[0, 0], out[0, 1]
-
-    def fold(row):                                    # halves → per-class
-        return row[:c] + row[c:2 * c]
-
-    tp, psum, tsum = fold(out[1]), fold(out[2]), fold(out[3])
-    tpt, ptsum = fold(out[4]), fold(out[5])
+    )(te2, to2, wst, bcol, flat)
+    nll, cnt = out[:c, 0], out[:c, 1]
+    tp, psum, tsum = out[:c, 2], out[:c, 3], out[:c, 4]
+    tpt, ptsum = out[:c, 5], out[:c, 6]
+    wv = w.reshape(-1)
+    s_wnll = jnp.sum(wv * nll)
+    s_w = jnp.sum(wv * cnt)
     loss_ce = s_wnll / jnp.maximum(s_w, 1e-12)
     score, fp, fn, denom = _dice_pieces(tp, psum, tsum)
     loss_dice = (1.0 - jnp.mean(score)) if with_dice else 0.0
@@ -768,40 +805,43 @@ def _final_vjp_bwd(cls_weights, num_classes, with_dice, interpret, res, g):
 def _final_vjp_bwd_paired(feats, kernel, bias, target, wf, w, c, nc_pad,
                           cf, s_w, A, B, gl, interpret):
     dt = feats.dtype
-    flat, tgt2, rows2 = _flatten_feats_paired(feats, cf, target, c)
-    w2 = jnp.concatenate([w, w], axis=1)
-    wfb = _block_diag_w(wf, dt)
-    b2 = jnp.concatenate([bias, bias]).reshape(1, 2 * c)
-    A2 = jnp.concatenate([A, A]).reshape(1, 2 * c)
-    B2 = jnp.concatenate([B, B]).reshape(1, 2 * c)
-    acc_rows = _round_up(2 * cf + 1, 8)
-    acc_cols = max(_round_up(2 * c, 128), 128)
+    cp = _round_up(c, 8)
+    flat, te2, to2, rows2 = _flatten_feats_pt(feats, cf, target, c)
+    wst = _stacked_w(wf, cp, dt)
+    bcol = _col2(bias, cp, c)
+    wcol = _col2(w, cp, c)
+    Acol = _col2(A, cp, c)
+    Bcol = _col2(B, cp, c)
+    acc_rows = _round_up(max(2 * cf, 2 * cp), 8)
+    acc_cols = max(_round_up(2 * cp + 1, 128), 128)
     dfeat, acc = pl.pallas_call(
-        _final_grad_kernel_p(c, cf, dt),
+        _final_grad_kernel_pt(c, cp, cf, acc_rows, dt),
         out_shape=(
             jax.ShapeDtypeStruct((flat.shape[0], 2 * cf), dt),
             jax.ShapeDtypeStruct((acc_rows, acc_cols), jnp.float32),
         ),
-        grid=(flat.shape[0] // _FBLK2,),
+        grid=(flat.shape[0] // _FBLKT,),
         in_specs=[
-            pl.BlockSpec((_FBLK2, 2 * cf), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, _FBLKT), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_FBLK2, 2), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, _FBLKT), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+            pl.BlockSpec((2 * cf, 2 * cp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * cf, 2 * c), lambda i: (0, 0),
+            pl.BlockSpec((2 * cp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+            pl.BlockSpec((2 * cp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+            pl.BlockSpec((2 * cp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+            pl.BlockSpec((2 * cp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_FBLKT, 2 * cf), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_FBLK2, 2 * cf), lambda i: (i, 0),
+            pl.BlockSpec((_FBLKT, 2 * cf), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((acc_rows, acc_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -809,13 +849,13 @@ def _final_vjp_bwd_paired(feats, kernel, bias, target, wf, w, c, nc_pad,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(flat, tgt2, w2, wfb, b2, A2, B2,
-      (gl / jnp.maximum(s_w, 1e-12)).reshape(1, 1))
+    )(te2, to2, wst, bcol, wcol, Acol, Bcol,
+      (gl / jnp.maximum(s_w, 1e-12)).reshape(1, 1), flat)
     dfeat = dfeat[:rows2].reshape(feats.shape)
-    # fold the block-diagonal accumulator: half-1 block + half-2 block
-    dw = (acc[:cf, :c] + acc[cf:2 * cf, c:2 * c]
+    # fold the stacked accumulator: even block + odd block
+    dw = (acc[:cf, :c] + acc[cf:2 * cf, cp:cp + c]
           ).reshape(kernel.shape).astype(kernel.dtype)
-    db = (acc[2 * cf, :c] + acc[2 * cf, c:2 * c]
+    db = (acc[:c, 2 * cp] + acc[cp:cp + c, 2 * cp]
           ).reshape(bias.shape).astype(bias.dtype)
     return dfeat, dw, db, None
 
