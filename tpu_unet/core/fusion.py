@@ -138,25 +138,23 @@ def set_lowres_bwd(on: bool | None) -> None:
 def use_lowres_bwd() -> bool:
     """Low-res up path in the wide decoder BACKWARD.
 
-    Default OFF everywhere: the kernel is grad-exact (interpret tests)
-    and as of round 3 compiles AND runs inside full train steps (the
-    earlier fusion-emitter crash — ``fusion_emitter.cc: Check failed:
-    window.pad_low[i] == 0`` — came from the host-side weight unpack's
-    slice/concat/transpose chain canonicalizing to a negative-pad
-    fusion; rewriting it as one transpose+reshape removed the fold,
-    see kernels/decoder_train.py::_bwd_wide_lowres_call).  Measured on
-    v5e @512px/bs8 it does not pay: 88.1 (F<=256 stages) / 86.9 (all
-    stages, T=8 for F=512 to fit scoped VMEM) vs 88.0 img/s/chip for
-    the full-res paired backward — the deep stage's smaller tiles cost
-    more than the conv1-up FLOP cut saves, and the shallow stages'
-    backward is not MAC-bound.  Kept as a measured, working opt-in
-    (``TPU_UNET_LOWRES_BWD=1``) for chips where the balance differs."""
+    Default ON for TPU since the stacked-L H-adjoint landed
+    (kernels/decoder_train.py::_h_adjoint_rows_cat): the variant's three
+    per-ky H-lerp adjoints were tiny-M (12×16) matmuls whose cost is set
+    by the huge N (W·2F) — issued separately they tripled the MXU pass
+    count and ate the conv1-up FLOP cut (measured 88.1/86.9 vs 88.0
+    img/s/chip, kept opt-in through mid-round-3).  Stacked into ONE
+    padded-block matmul the variant wins clearly: 96.6 vs 93.9
+    img/s/chip @512px/bs8.  (The original fusion-emitter crash —
+    ``fusion_emitter.cc pad_low check`` — was fixed earlier by writing
+    the host-side weight unpack as one transpose+reshape, see
+    ``_bwd_wide_lowres_call``.)"""
     if _overrides.get("lowres_bwd") is not None:
         return _overrides["lowres_bwd"]
     val = os.environ.get("TPU_UNET_LOWRES_BWD")
     if val is not None:
         return val.lower() not in _TRUTHY_OFF
-    return False
+    return _on_tpu()
 
 
 def set_lowres_bwd_paired(on: bool | None) -> None:

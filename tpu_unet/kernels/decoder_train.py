@@ -37,6 +37,8 @@ lands, training defaults to XLA (TPU_UNET_FUSED_TRAIN opts in).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -552,6 +554,53 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
 from tpu_unet.kernels.decoder_fuse import _lowres_col_coeffs_paired
 
 
+def _h_adjoint_cat_arrays(H, win):
+    """Host-side stacked coefficient planes for `_h_adjoint_rows_cat`:
+    three (H2, 3·winp) f32 arrays whose ky-th winp-lane block carries the
+    per-row value at offset ky+1 (cat[r, ky·winp + l] = coef[r + ky + 1]
+    in `_row_arrays` indexing).  Precomputed because the in-kernel
+    equivalent — concat of three offset sublane slices — is a Mosaic
+    unsupported op ("offset mismatch on non-concat dimension")."""
+    winp = (win + 7) // 8 * 8
+    hw, hsel, valid = _row_arrays(H)                 # (2H+4, 1) each
+    H2 = 2 * H
+
+    def cat(a):
+        return np.concatenate(
+            [np.repeat(a[ky + 1:ky + 1 + H2], winp, axis=1)
+             for ky in range(3)], axis=1).astype(np.float32)
+
+    return cat(hw), cat(hsel), cat(valid), winp
+
+
+def _h_adjoint_rows_cat(dh2d, hw_t, hs_t, vl_t, R, win, winp):
+    """All three per-ky H-lerp adjoints as ONE matmul.
+
+    The per-ky form (`_h_adjoint_rows_ky` ×3) runs three MXU passes at
+    M = win (12), K = T — tiny-M matmuls whose cost is set by the huge N
+    (W·2F), so issuing them separately triples the pass count.  Here the
+    three L matrices are stacked along padded winp-row column blocks
+    (Lcat (R, 3·winp), zeros in the pad columns) and contracted once:
+    out (3·winp, N); block ky starts at sublane ky·winp (8-aligned).
+    ``hw_t``/``hs_t``/``vl_t`` are the tile's (R, 3·winp) slices of
+    `_h_adjoint_cat_arrays`.
+    """
+    W3 = 3 * winp
+    tin = jax.lax.broadcasted_iota(jnp.int32, (R, W3), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (R, W3), 1)
+    kyi = li // winp
+    lloc = li - kyi * winp
+    ein = tin + kyi + 1
+    lo_i = jnp.where(hs_t != 0.0, (ein + 2) // 2, ein // 2)
+    aw = vl_t - hw_t
+    L = (jnp.where(lloc == lo_i, aw, 0.0)
+         + jnp.where(lloc == lo_i + 1, hw_t, 0.0))
+    L = jnp.where(lloc < win, L, 0.0)
+    return jax.lax.dot_general(
+        L, dh2d, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _w_comb_adjoint_paired(du, colc):
     """Adjoint of the PAIRED low-res W-combination
     (`_paired_kernel_lowres`): given du (R, W, 2F) f32 — the cotangent of
@@ -568,8 +617,8 @@ def _w_comb_adjoint_paired(du, colc):
     return jnp.concatenate([dp0, dp1, dp2], axis=-1)
 
 
-def _bwd_kernel_paired_lowres(T, E, win, Cs, Cx, F, H2, W, dt):
-    def kernel(hw, hsel, validx, skv, rv, colc,
+def _bwd_kernel_paired_lowres(T, E, win, winp, Cs, Cx, F, H2, W, dt):
+    def kernel(hw3, hs3, vl3, skv, rv, colc,
                k2d, k2e, zf, k1sd, k1se, zs, kupt,
                sk_p, sk_m, sk_n, x_l, x_m, x_h,
                g_p, g_m, g_n, o_p, o_m, o_n, y_p, y_m, y_n,
@@ -608,15 +657,14 @@ def _bwd_kernel_paired_lowres(T, E, win, Cs, Cx, F, H2, W, dt):
 
         # ---- LOW-RES up path: dx + conv1's up-half wgrad ----
         dz2dc = dz1.astype(jnp.float32)[1:T + 1].reshape(T, W * 2 * F)
-        hwv = hw[pl.ds(r0, E)]
-        hsv = hsel[pl.ds(r0, E)]
-        vlv = validx[pl.ds(r0, E)]
         xs = jnp.concatenate(
             [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        ducat = _h_adjoint_rows_cat(dz2dc, hw3[pl.ds(r0, T)],
+                                    hs3[pl.ds(r0, T)], vl3[pl.ds(r0, T)],
+                                    T, win, winp)
         dxs = None
         for ky in range(3):
-            duc = _h_adjoint_rows_ky(dz2dc, hwv, hsv, vlv, T, win,
-                                     ky + 1).reshape(win, W, 2 * F)
+            duc = ducat[ky * winp:ky * winp + win].reshape(win, W, 2 * F)
             dpc = _w_comb_adjoint_paired(duc, colc).astype(dt)
             t = _mm(dpc, kupt[ky])                    # (win, W, Cx) f32
             dxs = t if dxs is None else dxs + t
@@ -674,6 +722,7 @@ def _bwd_paired_lowres_call(g, out, y1, skip_p, x, k1, B, H2, F, Cp, Cx,
     kt = k1u.transpose(0, 1, 3, 2)                   # (3, 3, F, Cx)
     kupt = jnp.concatenate([kt, kt], axis=2).reshape(3, 6 * F, Cx)
     colc = jnp.asarray(_lowres_col_coeffs_paired(W, F)).astype(dt)
+    hw3, hs3, vl3, winp = _h_adjoint_cat_arrays(H, win)
 
     nb = H2 // T - 1
     nbx = H // (T // 2) - 1
@@ -729,7 +778,8 @@ def _bwd_paired_lowres_call(g, out, y1, skip_p, x, k1, B, H2, F, Cp, Cx,
         const((8, 2 * F)),
     )
 
-    kernel = _bwd_kernel_paired_lowres(T, E, win, Cs, Cx, F, H2, W, dt)
+    kernel = _bwd_kernel_paired_lowres(T, E, win, winp, Cs, Cx, F, H2, W,
+                                       dt)
     res = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -741,9 +791,8 @@ def _bwd_paired_lowres_call(g, out, y1, skip_p, x, k1, B, H2, F, Cp, Cx,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
-      jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),
-      jnp.asarray(rv).astype(dt), colc,
+    )(jnp.asarray(hw3), jnp.asarray(hs3), jnp.asarray(vl3),
+      jnp.asarray(skv).astype(dt), jnp.asarray(rv).astype(dt), colc,
       k2f_d, k2f_e, zf, k1s_d, k1s_e, zs, kupt,
       skip_p, skip_p, skip_p, x, x, x, g, g, g, out, out, out, y1, y1, y1)
     dsk, dxp, dkd1, dke1, dkup, dkd2, dke2, dbs = res
@@ -837,14 +886,14 @@ def _w_comb_adjoint(du, colc, F):
     return jnp.concatenate([dp0, dp1, dp2], axis=-1)
 
 
-def _bwd_kernel_wide_lowres(T, E, win, Cs, Cx, F, H2, W, dt):
+def _bwd_kernel_wide_lowres(T, E, win, winp, Cs, Cx, F, H2, W, dt):
     """`_bwd_kernel_wide` with the LOW-RES up path: the dup→dx chain and
     conv1's up-half weight gradient run against the raw low-res x window
     through the same commutation the forward uses — dgrad:
     dx = Σ_ky Wcombᵀ(Hlerpᵀ(dz1)) @ kupᵀ; wgrad: dkup[ky] = xsᵀ @
     dp_ky(center rows).  The full-res upsample recompute (cc's up
     planes) disappears entirely."""
-    def kernel(hwc, hselc, validc, skv, rv, colc,
+    def kernel(hw3, hs3, vl3, skv, rv, colc,
                k2fd, k2feo, k2fee, zf,
                k1sd, k1seo, k1see, zs,
                kupt,
@@ -897,15 +946,15 @@ def _bwd_kernel_wide_lowres(T, E, win, Cs, Cx, F, H2, W, dt):
         # only the T CENTER y1-row cotangents contribute (the halo rows
         # are the neighbouring tiles' center rows — overlap-added there)
         dz2dc = dz1.astype(jnp.float32)[1:T + 1].reshape(T, W * 2 * F)
-        hwv = hwc[pl.ds(r0, E)]
-        hsv = hselc[pl.ds(r0, E)]
-        vlv = validc[pl.ds(r0, E)]
-        dxs = None
+
         xs = jnp.concatenate(
             [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        ducat = _h_adjoint_rows_cat(dz2dc, hw3[pl.ds(r0, T)],
+                                    hs3[pl.ds(r0, T)], vl3[pl.ds(r0, T)],
+                                    T, win, winp)
+        dxs = None
         for ky in range(3):
-            duc = _h_adjoint_rows_ky(dz2dc, hwv, hsv, vlv, T, win,
-                                     ky + 1).reshape(win, W, 2 * F)
+            duc = ducat[ky * winp:ky * winp + win].reshape(win, W, 2 * F)
             dpc = _w_comb_adjoint(duc, colc, F).astype(dt)
             t = _mm(dpc, kupt[ky])                    # (win, W, Cx) f32
             dxs = t if dxs is None else dxs + t
@@ -1237,7 +1286,8 @@ def _bwd_wide_lowres_call(g, out, y1p, skip, x, k1, B, H2, W2, F, Cp, Cx,
         const((8, 2 * F)),
     )
 
-    kernel = _bwd_kernel_wide_lowres(T, E, win, Cs, Cx, F, H2, W, dt)
+    hw3, hs3, vl3, winp = _h_adjoint_cat_arrays(H, win)
+    kernel = _bwd_kernel_wide_lowres(T, E, win, winp, Cs, Cx, F, H2, W, dt)
     res = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -1249,9 +1299,8 @@ def _bwd_wide_lowres_call(g, out, y1p, skip, x, k1, B, H2, W2, F, Cp, Cx,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
-      jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),
-      jnp.asarray(rv).astype(dt), colc,
+    )(jnp.asarray(hw3), jnp.asarray(hs3), jnp.asarray(vl3),
+      jnp.asarray(skv).astype(dt), jnp.asarray(rv).astype(dt), colc,
       k2fd, k2feo, k2fee, zf, k1sd, k1seo, k1see, zs, kupt,
       skip, skip, skip, x, x, x, g, g, g, out, out, out, y1p, y1p, y1p)
     (dsk, dxp, dkd1, dkeo1, dkee1, dkup, dkd2, dkeo2, dkee2, dbs) = res
@@ -1289,6 +1338,10 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
     if not ok:
         return None
     lowres = fusion.use_lowres_bwd()
+    if lowres and F > 256 and os.environ.get(
+            "TPU_UNET_LOWRES_BWD_DEEP", "1").lower() in ("0", "false",
+                                                         "off"):
+        lowres = False  # A/B: keep the F=512 stage full-res at T=16
     # The low-res variant carries the (3, Cx, 3F) up-half weight + wgrad
     # blocks resident in VMEM on top of the paired set; at F=512 the
     # deepest stage's scoped demand exceeds the 100 MB budget by ~1 MB
