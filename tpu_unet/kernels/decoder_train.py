@@ -405,7 +405,13 @@ def fused_unetup_bwd_paired_impl(g, out, y1, skip, x, k1, k2, Cs,
     paired = F < 128 and F % 8 == 0 and Cs % 2 == 0 and Cx % 2 == 0
     if not paired or Wp != W:
         return None
-    T = block_rows or (16 if H2 % 16 == 0 else 8)
+    # A/B: T=32 row tiles halve the per-step count of the stacked
+    # H-adjoint's N-bound MXU passes (M fills 72/128 instead of 48/128)
+    # at ~2x the VMEM block residency
+    t32 = (os.environ.get("TPU_UNET_PAIRED_BWD_T32", "0").lower()
+           not in ("0", "false", "off"))
+    T = block_rows or (32 if (t32 and H2 % 32 == 0)
+                       else (16 if H2 % 16 == 0 else 8))
     if H2 % T or T < 8 or H % (T // 2):
         return None
     E = T + 4
@@ -1450,10 +1456,11 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # 102 MB: the F=512 stage sits ~0.3 MB over 100 once its
-            # dxp feeds another Pallas consumer; a small bump (below
-            # Mosaic's re-buffering threshold) absorbs it (v5e: 128 MB)
-            vmem_limit_bytes=102 * 1024 * 1024),
+            # 110 MB: the F=512 stage needs ~103 MB at T=16, and ~108 MB
+            # once the surrounding stages run their low-res backwards
+            # (operand staging changes at the Pallas boundaries); v5e has
+            # 128 MB physical VMEM
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
       jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),

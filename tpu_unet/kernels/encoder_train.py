@@ -39,12 +39,12 @@ from tpu_unet.kernels.encoder import reference_vgg_block
 _T = 8
 
 
-def _row_valid(i, H, n):
+def _row_valid(i, H, n, T=_T):
     """(n, 1, 1) bool mask for global rows i*T-2 .. i*T+n-3 (an iota-based
     mask: the host-array + in-kernel ``[:, None, :]`` reshape variant hits
     Mosaic's unsupported-shape-cast at <128 lanes, e.g. C=64)."""
     lr = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-    gr = i * _T - 2 + lr
+    gr = i * T - 2 + lr
     return (gr >= 0) & (gr < H)
 
 
@@ -151,8 +151,7 @@ def fused_vgg_block2_fwd_impl(x, k5, b5, k7, b7, want_a5=False):
     return res if want_a5 else (res[0], res[1])
 
 
-def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
-    T = _T
+def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb, T):
     F2 = 2 * F
 
     def kernel(k7fd, k7feo, k7fee, zf, k5fd, k5fe, zc,
@@ -178,7 +177,7 @@ def _block2_bwd_kernel(W, C, F, H, dt, lane_roll, nb):
             return jnp.concatenate([p[0], m[0], n[0]],
                                    axis=0)[T - 2:2 * T + 2]
 
-        v4 = _row_valid(i, H, T + 4)
+        v4 = _row_valid(i, H, T + 4, T)
         dsw = jnp.where(v4, win3(ds_p, ds_m, ds_n).reshape(T + 4, W, F2), 0)
         yw = jnp.where(v4, win3(y_p, y_m, y_n).reshape(T + 4, W, F2), 0)
         aw = jnp.where(v4, win3(a_p, a_m, a_n), 0)  # a5 saved paired already
@@ -260,7 +259,10 @@ def fused_vgg_block2_bwd_impl(dskip, dpool, y7, a5p, xp, k5, k7):
     B, H, W2, F = y7.shape
     C = xp.shape[-1] // 2
     dt = y7.dtype
-    T = _T
+    # T=16 backward tiles: the forward keeps T=8 (P8 handoff convention),
+    # but the backward's 4-row halo is 50% overhead on every VPU pass at
+    # T=8 - see the stem backward's identical change
+    T = 16 if H % 32 == 0 else _T
     if H % (2 * T) or W2 % 2 or F % 128 or C % 2:
         return None
     W = W2 // 2
@@ -274,7 +276,7 @@ def fused_vgg_block2_bwd_impl(dskip, dpool, y7, a5p, xp, k5, k7):
     zc = jnp.zeros((2 * C,), dt)
 
     kernel = _block2_bwd_kernel(W, C, F, H, dt, _lane_roll_fn(interpret),
-                                nb)
+                                nb, T)
 
     def blk3(c, cols=None):
         wdim = cols or W2

@@ -48,8 +48,7 @@ from tpu_unet.kernels.stem import (_T, _pack_conv1_weights,
                                    fused_vgg_stem_impl, reference_vgg_stem)
 
 
-def _stem_bwd_kernel(Wp, F, H, dt, lane_roll, nb):
-    T = _T
+def _stem_bwd_kernel(Wp, F, H, dt, lane_roll, nb, T):
     H2F = 2 * F
 
     def kernel(vcc, k12fd, k12fe, zf,
@@ -162,7 +161,11 @@ def fused_vgg_stem_bwd_impl(dskip_p, dpool, y2_p, a1_p, x, k12):
     B, H, Wp, F2 = y2_p.shape
     F = F2 // 2
     dt = y2_p.dtype
-    T = _T
+    # T=16 row tiles: at the forward's T=8 the 4-row halo is 50% overhead
+    # on every VPU pass of the backward (pool routing, relu VJPs, masks);
+    # 16 quarters the fixed per-tile cost share.  (The forward keeps T=8
+    # for the P8 prepad handoff convention with the decoder.)
+    T = 16 if H % 32 == 0 else _T
     if H % (2 * T) or x.shape[-1] != 3 or F % 8:
         return None
     nb = H // T
@@ -238,7 +241,7 @@ def fused_vgg_stem_bwd_impl(dskip_p, dpool, y2_p, a1_p, x, k12):
     out_specs = (const((128, 2 * F)), const((3, 2 * F, 2 * F)),
                  const((3, 2 * F, 2 * F)), const((8, 2 * F)))
 
-    kernel = _stem_bwd_kernel(Wp, F, H, dt, lane_roll, nb)
+    kernel = _stem_bwd_kernel(Wp, F, H, dt, lane_roll, nb, T)
     res = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
