@@ -1344,10 +1344,19 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
     if not ok:
         return None
     lowres = fusion.use_lowres_bwd()
+    # Per-stage defaults from the round-3 v5e profile (512px/bs8,
+    # ms/step): F=128 full-res 9.05 vs lowres 9.29; F=256 lowres 7.14 vs
+    # full-res 8.09; F=512 full-res 5.85 vs lowres 6.42 (the T=8 tiles
+    # the F=512 variant needs for VMEM cost more than the FLOP cut
+    # saves).  Env overrides keep the other combinations reachable.
     if lowres and F > 256 and os.environ.get(
-            "TPU_UNET_LOWRES_BWD_DEEP", "1").lower() in ("0", "false",
+            "TPU_UNET_LOWRES_BWD_DEEP", "0").lower() in ("0", "false",
                                                          "off"):
-        lowres = False  # A/B: keep the F=512 stage full-res at T=16
+        lowres = False
+    if lowres and F < 256 and os.environ.get(
+            "TPU_UNET_LOWRES_BWD_SHALLOW", "0").lower() in ("0", "false",
+                                                            "off"):
+        lowres = False
     # The low-res variant carries the (3, Cx, 3F) up-half weight + wgrad
     # blocks resident in VMEM on top of the paired set; at F=512 the
     # deepest stage's scoped demand exceeds the 100 MB budget by ~1 MB
