@@ -1,9 +1,21 @@
 """Training-step throughput harness (the other half of BASELINE.json's
 "inference + train step" metric): images/sec/chip for the full jitted SPMD
 train step (forward + loss + backward + optimizer update + BN stats).
+
+Dispatch protocol: per-call by default — one launch per step, exactly how
+``fit()`` drives training in production, with JAX async dispatch hiding
+the enqueue cost behind the ~80 ms device step (unlike the inference
+bench, whose ~23 ms step IS relay-bound per-call; see bench.py).
+``scan=True`` runs the window as ONE ``lax.scan`` launch for A/B — but
+note the VGG flagship's up4 paired backward does not fit VMEM inside a
+while-loop body on v5e (its f32 wgrad accumulator windows total ~85 MB;
+the loop context adds ~8 MB and tips the 128 MB cap), so scan mode OOMs
+at compile time there.  Measure other models/sizes with it, or
+``TPU_UNET_PAIRED_TRAIN=0``.
 """
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -12,7 +24,7 @@ import numpy as np
 
 def bench_train_step(model_name: str = "unet_vgg", batch: int = 8,
                      size: int = 512, num_classes: int = 21,
-                     iters: int = 10, bf16: bool = True):
+                     iters: int = 10, bf16: bool = True, scan: bool = False):
     import jax.numpy as jnp
 
     from tpu_unet.models.registry import build_model, init_model
@@ -38,14 +50,37 @@ def bench_train_step(model_name: str = "unet_vgg", batch: int = 8,
     key = jax.random.PRNGKey(0)
     state, m = step(state, batch_data, 1e-4, key)  # compile
     float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch_data, 1e-4, key)
-    float(m["loss"])
-    dt = time.perf_counter() - t0
-    ips = batch * iters / dt
+
+    if scan:
+        @functools.partial(jax.jit, donate_argnums=0, static_argnums=4)
+        def stepn(state, batch_data, lr, key, n):
+            def body(s, _):
+                s2, m2 = step(s, batch_data, lr, key)  # jit-of-jit inlines
+                return s2, m2["loss"]
+            return jax.lax.scan(body, state, None, length=n)
+
+        state, losses = stepn(state, batch_data, 1e-4, key, iters)  # compile
+        float(losses[-1])
+        rates = []
+        for _ in range(3):  # median of three windows (relay noise)
+            t0 = time.perf_counter()
+            state, losses = stepn(state, batch_data, 1e-4, key, iters)
+            float(losses[-1])
+            dt = time.perf_counter() - t0
+            rates.append(batch * iters / dt)
+        ips = sorted(rates)[1]
+        protocol = f"scan{iters}-x3-median"
+    else:
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, batch_data, 1e-4, key)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        ips = batch * iters / dt
+        protocol = f"percall{iters}"
     out = {"model": model_name, "batch": batch, "size": size,
-           "train_images_per_sec_per_chip": ips / max(jax.device_count(), 1)}
+           "train_images_per_sec_per_chip": ips / max(jax.device_count(), 1),
+           "protocol": protocol}
     print(out)
     return out
 
@@ -56,4 +91,5 @@ if __name__ == "__main__":
     bench_train_step(
         model_name=sys.argv[1] if len(sys.argv) > 1 else "unet_vgg",
         batch=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+        scan=(sys.argv[3] == "scan") if len(sys.argv) > 3 else False,
     )
