@@ -91,6 +91,8 @@ def build_forward(batch: int, size: int = 512, num_classes: int = 21,
 
 
 def main():
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     model_name = sys.argv[2] if len(sys.argv) > 2 else "unet_vgg"
     size = 512

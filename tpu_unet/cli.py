@@ -166,6 +166,8 @@ def cmd_export(args):
 
 
 def main(argv=None):
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="tpu_unet")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -78,6 +78,8 @@ def true_e2e_512(batch: int = 8, num_classes: int = 21, size: int = 512,
 
 
 def main():
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     print(json.dumps(true_e2e_512(batch)), flush=True)
     print(json.dumps(get_fps_512()), flush=True)

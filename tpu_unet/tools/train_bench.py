@@ -27,7 +27,10 @@ def bench_train_step(model_name: str = "unet_vgg", batch: int = 8,
                      iters: int = 10, bf16: bool = True, scan: bool = False):
     import jax.numpy as jnp
 
+    from tpu_unet.core.cache import enable_compilation_cache
     from tpu_unet.models.registry import build_model, init_model
+
+    enable_compilation_cache()
     from tpu_unet.train.step import (StepConfig, create_train_state,
                                      make_optimizer, make_train_step)
 
