@@ -69,6 +69,10 @@ def test_final_loss_grads_match_autodiff():
 @pytest.mark.parametrize("shape", [
     (1, 8, 16, 16, 4),
     (2, 16, 16, 64, 21),
+    # W % 128 == 0 exercises the MXU selection-matmul even/odd split
+    # (loss.py::_flatten_feats_pt) — the branch the production 512px
+    # path takes; W=16 above hits the strided-slice fallback
+    (1, 4, 128, 16, 21),
 ])
 def test_final_loss_paired_feats_matches_natural(shape):
     """Column-paired feature input (B, H, W/2, 2·Cf) routes through the
@@ -112,3 +116,30 @@ def test_final_loss_bf16_feats():
         argnums=(0, 1, 2))(feats16, k16, b16)
     assert df.dtype == jnp.bfloat16 and dk.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(df, np.float32)).all()
+
+
+def test_out_of_range_labels_match_reference_clamp():
+    """Raw out-of-range labels (e.g. VOC's 255 border) must behave as the
+    reference's png[png >= num_classes] = num_classes (utils/
+    dataloader.py:43): ignored by CE, but their softmax mass still counts
+    in dice fp and f_score via the prob sums."""
+    c = 21
+    feats, kernel, bias, target, cw, _ = _case(1, 8, 16, 16, c)
+    raw = np.asarray(target).copy()
+    raw[0, :2] = 255  # un-preprocessed ignore pixels
+    clamped = np.minimum(raw, c)
+    l_raw, fs_raw = final_ce_dice_loss_grad(
+        feats, kernel, bias, jnp.asarray(raw), cw, c, interpret=True)
+    l_cl, fs_cl = final_ce_dice_loss_grad(
+        feats, kernel, bias, jnp.asarray(clamped), cw, c, interpret=True)
+    np.testing.assert_allclose(float(l_raw), float(l_cl), rtol=1e-6)
+    np.testing.assert_allclose(float(fs_raw), float(fs_cl), rtol=1e-6)
+
+    from tpu_unet.kernels.loss import ce_dice_loss_grad
+
+    logits = _conv1x1(feats, kernel, bias)
+    l2_raw, _ = ce_dice_loss_grad(logits, jnp.asarray(raw), cw, c,
+                                  interpret=True)
+    l2_cl, _ = ce_dice_loss_grad(logits, jnp.asarray(clamped), cw, c,
+                                 interpret=True)
+    np.testing.assert_allclose(float(l2_raw), float(l2_cl), rtol=1e-6)

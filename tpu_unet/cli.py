@@ -146,6 +146,8 @@ def cmd_fold(args):
     from tpu_unet.train.checkpoint import load_any, save_variables
 
     variables = load_any(args.model_path, args.model)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}  # drop full-state extras
     folded = fold_repvgg(variables)
     save_variables(args.out, folded)
     print(f"folded {args.model_path} -> {args.out} "

@@ -18,6 +18,12 @@ class TrainConfig:
     num_classes: int = 21
     input_shape: Tuple[int, int] = (512, 512)
     model_path: str = ""                  # resume/pretrain checkpoint
+    # True resume: when model_path is a full-state checkpoint (saved by
+    # train/checkpoint.py::save_full_state), also restore opt_state, the
+    # epoch counter (overriding init_epoch) and best-val tracking —
+    # improves on the reference's manual weights-only resume
+    # (train.py:96-97, :288-302)
+    resume: bool = False
     pretrained_backbone: bool = False
     # explicit path to a torchvision vgg16/resnet50 ImageNet .pth; when
     # empty, resolved via $TPU_UNET_PRETRAINED_DIR or ./model_data

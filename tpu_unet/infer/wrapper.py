@@ -95,14 +95,24 @@ class Unet:
         return name
 
     def generate(self, onnx: bool = False):
-        """Build the net and load weights (reference: unet.py:86-96)."""
+        """Build the net and load weights (reference: unet.py:86-96).
+
+        ``onnx=True`` builds the forward WITHOUT the jit wrapper — the
+        export path traces the bare function, exactly as the reference
+        skips the DataParallel/cuda wrap for ONNX export (unet.py:93) —
+        and skips the TPU fast-serving build."""
         name = self._model_name()
         self.net = build_model(name, self.num_classes)
         if self.model_path:
             from tpu_unet.train.checkpoint import load_any
 
             try:
-                self.variables = load_any(self.model_path, name)
+                loaded = load_any(self.model_path, name)
+                # full-state training checkpoints carry opt_state/epoch/…
+                # alongside the weights; serving consumes only the model
+                # collections
+                self.variables = {k: loaded[k] for k in
+                                  ("params", "batch_stats") if k in loaded}
             except KeyError as e:
                 raise ValueError(
                     f"checkpoint {self.model_path!r} does not match model "
@@ -114,9 +124,20 @@ class Unet:
             self.variables = init_model(self.net, tuple(self.input_shape))
 
         model = self.net
+        on_tpu = jax.default_backend() in ("tpu", "axon")
 
-        @jax.jit
         def forward_probs(variables, x):
+            if x.dtype == jnp.uint8:
+                # uint8 in, normalize on device: quarters the H2D bytes on
+                # PCIe-bound hosts.  TPU uses the Pallas kernel (emits the
+                # compute dtype in-VMEM); elsewhere plain /255 keeps the
+                # historical bit-exact float path
+                if on_tpu:
+                    from tpu_unet.kernels.preprocess import normalize_images
+
+                    x = normalize_images(x, jnp.float32)
+                else:
+                    x = x.astype(jnp.float32) / 255.0
             logits = model.apply(variables, x, False)
             if isinstance(logits, tuple):
                 logits = logits[0]
@@ -130,13 +151,16 @@ class Unet:
                                          align_corners=True)
             return jax.nn.softmax(logits, axis=-1)
 
-        self._forward_probs = forward_probs
+        self._forward_probs = forward_probs if onnx else jax.jit(forward_probs)
+        self._serving = None  # built lazily by serving_step()
 
     # ------------------------------------------------------------------
     def _probs_for(self, image: Image.Image):
         image = cvt_rgb(image)
         boxed, nw, nh = _letterbox_image(image, self.input_shape)
-        x = np.asarray(boxed, np.float32)[None] / 255.0
+        # ship uint8; the forward normalizes on device (TPU: Pallas
+        # normalize kernel — 1/4 the H2D bytes of the f32 upload)
+        x = np.asarray(boxed, np.uint8)[None]
         pr = np.asarray(self._forward_probs(self.variables, x)[0])
         # crop the gray letterbox bars (reference: unet.py:139-140)
         oh, ow = self.input_shape
@@ -205,7 +229,7 @@ class Unet:
         (reference: unet.py:205-258)."""
         image = cvt_rgb(image)
         boxed, nw, nh = _letterbox_image(image, self.input_shape)
-        x = np.asarray(boxed, np.float32)[None] / 255.0
+        x = np.asarray(boxed, np.uint8)[None]  # device-side normalize
 
         def once():
             pr = np.asarray(self._forward_probs(self.variables, x)[0])
@@ -221,15 +245,107 @@ class Unet:
         return (time.time() - t0) / test_interval
 
     # ------------------------------------------------------------------
+    def _build_serving(self):
+        """Build the batched serving step: (fn, variables) with
+        ``fn(variables, images) -> (masks uint8 (N,H,W), hist int32
+        (N,num_classes))`` — one jitted device-level graph.
+
+        On TPU for the canonical models (unet_vgg / unet_resnet50) this is
+        the measured fast path: bf16 params, paired-layout decoder head and
+        the fused final-conv+argmax+histogram Pallas tail
+        (kernels/postprocess.py) — the path bench.py times.  Elsewhere (or
+        with the fused decoder disabled) it falls back to the plain
+        forward + argmax graph.  Masks are identical between the two paths
+        at matched precision (tests/test_serving_path.py)."""
+        name = self._model_name()
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        num_classes = self.num_classes
+        from tpu_unet.core.fusion import use_fused_decoder
+
+        # gate on the fused-decoder switch (default: on for TPU, off
+        # elsewhere — core/fusion.py); tests force it on CPU where the
+        # kernels run in interpret mode
+        fast = (use_fused_decoder()
+                and name in ("unet_vgg", "unet_resnet50"))
+        if on_tpu:  # bf16 compute: params cast once, BN stats stay f32
+            variables = {
+                "params": jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.bfloat16),
+                    self.variables["params"]),
+                **{k: v for k, v in self.variables.items() if k != "params"},
+            }
+        else:
+            variables = self.variables
+
+        if fast:
+            from tpu_unet.kernels.postprocess import (
+                fused_final_argmax_hist_paired)
+            from tpu_unet.models.unet import Unet as UnetModel
+
+            paired_model = UnetModel(
+                num_classes=num_classes,
+                backbone=("resnet50" if name == "unet_resnet50" else "vgg"),
+                paired_head=True)
+            fdt = jnp.bfloat16 if on_tpu else jnp.float32
+
+            @jax.jit
+            def step(variables, imgs):
+                x = imgs.astype(fdt)
+                if imgs.dtype == jnp.uint8:
+                    x = x / fdt(255.0)
+                feats = paired_model.apply(variables, x, False)
+                masks, hist = fused_final_argmax_hist_paired(
+                    feats, variables["params"]["final"]["kernel"],
+                    variables["params"]["final"]["bias"], num_classes,
+                    interpret=jax.default_backend() == "cpu")
+                return masks, hist.astype(jnp.int32)
+
+            return step, variables
+
+        model = self.net
+        dt = jnp.bfloat16 if on_tpu else jnp.float32
+
+        @jax.jit
+        def step(variables, imgs):
+            x = imgs.astype(dt)
+            if imgs.dtype == jnp.uint8:
+                x = x / dt(255.0)
+            logits = model.apply(variables, x, False)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            if logits.shape[1:3] != x.shape[1:3]:
+                from tpu_unet.nn.resize import resize_bilinear
+
+                logits = resize_bilinear(logits.astype(jnp.float32),
+                                         x.shape[1:3], align_corners=True)
+            masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            classes = jnp.arange(num_classes, dtype=jnp.uint8)
+            hist = (masks[..., None] == classes).sum(axis=(1, 2))
+            return masks, hist.astype(jnp.int32)
+
+        return step, variables
+
+    def serving_step(self):
+        """Public access to the batched device-level serving step — for
+        embedding in production loops (and what bench.py drives).  Returns
+        ``(fn, variables)``; see :meth:`_build_serving` for semantics."""
+        if getattr(self, "_serving", None) is None:
+            self._serving = self._build_serving()
+        return self._serving
+
     def batch_infer(self, images: np.ndarray) -> np.ndarray:
         """Fixed-shape batched masks — the TPU throughput path.
         ``images``: (N, H, W, 3) uint8/float at input_shape; returns
-        (N, H, W) int32 argmax masks, all computed in one XLA graph."""
-        x = np.asarray(images, np.float32)
-        if x.max() > 1.5:
-            x = x / 255.0
-        probs = self._forward_probs(self.variables, x)
-        return np.asarray(jnp.argmax(probs, axis=-1))
+        (N, H, W) int32 argmax masks, all computed in one XLA graph (on
+        TPU: the paired-head + fused-tail fast path)."""
+        fn, variables = self.serving_step()
+        imgs = np.asarray(images)
+        if imgs.dtype != np.uint8:
+            imgs = imgs.astype(np.float32)
+            if imgs.max() > 1.5:
+                imgs = imgs / 255.0
+        masks, _ = fn(variables, imgs)
+        return np.asarray(masks).astype(np.int32)
 
     def convert_to_export(self, path: str):
         """Serialized-StableHLO export — the idiomatic counterpart of

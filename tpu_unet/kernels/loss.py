@@ -222,6 +222,12 @@ def ce_dice_loss_grad(logits, target, cls_weights, num_classes: int,
             f"fused loss kernel supports num_classes <= 126 (int8 target "
             f"encoding with sentinel num_classes+1); got {num_classes}. "
             f"Use train/losses.py for more classes.")
+    # out-of-range labels (e.g. a raw 255 VOC border) map to the ignore
+    # class c, exactly as the reference pipeline does
+    # (utils/dataloader.py:43 png[png >= num_classes] = num_classes) —
+    # ignored by CE, but still counted in the dice/f_score prob sums.
+    # Without this, the int8 cast would wrap 255 to -1.
+    target = jnp.minimum(target, num_classes)
     # CPU has no Mosaic lowering — interpret mode keeps the kernel
     # drivable under the virtual-device mesh tests
     return _ce_dice(logits, target,
@@ -589,8 +595,9 @@ def _flatten_feats_pt(feats, cf, target, c):
     this replaces ran at ~0.26 ms each at 512px/bs8 (s8 (4,1)-packed
     tiles make stride-2 element gathers sublane-serial); the matmul + two
     tile-aligned lane slices compile to ~0.03 ms.  Out-of-range labels
-    (e.g. a raw 255 ignore value) are clamped to the padding sentinel
-    c+1 — fully ignored by the kernels — instead of int8-wrapping."""
+    were clamped to the ignore class c at the public entry (reference
+    semantics, utils/dataloader.py:43); the min with c+1 here is only a
+    guard against int8 wrap for internal callers."""
     rows2 = int(np.prod(feats.shape[:-1]))            # pixel pairs
     flat = feats.reshape(rows2, 2 * cf)
     w = target.shape[-1]
@@ -664,6 +671,9 @@ def final_ce_dice_loss_grad(feats, kernel, bias, target, cls_weights,
         raise ValueError(
             f"fused loss kernel supports num_classes <= 126; got "
             f"{num_classes}. Use train/losses.py for more classes.")
+    # out-of-range labels → ignore class c, matching the reference
+    # (utils/dataloader.py:43); see ce_dice_loss_grad
+    target = jnp.minimum(target, num_classes)
     # CPU has no Mosaic lowering — interpret mode keeps the kernel
     # drivable under the virtual-device mesh tests
     return _final_ce_dice(feats, kernel, bias, target,

@@ -25,6 +25,39 @@ def save_variables(path: str, variables: dict):
         f.write(serialization.msgpack_serialize(host))
 
 
+def save_full_state(path: str, state, epoch: int, best_val: float):
+    """Full-state checkpoint for true resume: params + batch_stats +
+    opt_state + step + epoch + best_val in one msgpack file.
+
+    The reference resumes weights-only, with Init_Epoch set by hand
+    (train.py:96-97); this loses the adam moments across a restart.  The
+    "params"/"batch_stats" keys keep the weights-only layout, so serving
+    and partial-merge loaders read these files unchanged.  ``epoch`` is
+    the number of COMPLETED epochs (i.e. the epoch index to resume at);
+    the LR phase needs no extra state — schedules are pure functions of
+    the epoch index (train/schedules.py).
+    """
+    host = jax.tree_util.tree_map(np.asarray, {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": serialization.to_state_dict(state.opt_state),
+    })
+    host["epoch"] = int(epoch)
+    host["step"] = int(state.step)
+    host["best_val"] = float(best_val)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(host))
+
+
+def restore_opt_state(template_opt_state, saved_state_dict):
+    """Rebuild an optax opt_state from its msgpack state-dict, given a
+    freshly-initialized template of the same transformation.  Raises on
+    structure mismatch (e.g. resuming across a freeze-phase boundary,
+    where the trainable mask — and hence the state tree — changed)."""
+    return serialization.from_state_dict(template_opt_state, saved_state_dict)
+
+
 def load_variables(path: str) -> dict:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())

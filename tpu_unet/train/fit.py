@@ -24,7 +24,8 @@ from tpu_unet.data.datasets import (DefectSegDataset, HeavyAugDataset,
 from tpu_unet.data.loader import Loader
 from tpu_unet.models.registry import build_model, init_model
 from tpu_unet.train.callbacks import EarlyStopping, LossHistory
-from tpu_unet.train.checkpoint import load_any, partial_load, save_variables
+from tpu_unet.train.checkpoint import (load_any, partial_load,
+                                       save_full_state, save_variables)
 from tpu_unet.train.schedules import adaptive_lr, get_lr_scheduler
 from tpu_unet.train.step import (FREEZE_PREFIXES, StepConfig, TrainState,
                                  create_train_state, make_eval_step,
@@ -170,6 +171,7 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
         if verbose:
             print(f"Loading ImageNet backbone weights from {path}.")
         variables = load_pretrained_backbone(variables, path, cfg.model)
+    resumed = None  # full-state resume payload (opt_state/epoch/best_val)
     if cfg.model_path:
         loaded = load_any(cfg.model_path, cfg.model)
         variables = {
@@ -178,6 +180,13 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
             "batch_stats": partial_load(variables.get("batch_stats", {}),
                                         loaded.get("batch_stats", {}), verbose),
         }
+        if cfg.resume:
+            if "opt_state" not in loaded:
+                raise ValueError(
+                    f"resume=True but {cfg.model_path} is a weights-only "
+                    f"checkpoint (no opt_state) — set resume=False and "
+                    f"init_epoch by hand for a weights-only warm start")
+            resumed = loaded
 
     from tpu_unet.core.precision import resolve
 
@@ -209,6 +218,12 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
     best_val = np.inf
     frozen_now = None
     epoch = cfg.init_epoch
+    if resumed is not None:
+        epoch = int(resumed["epoch"])
+        best_val = float(resumed.get("best_val", np.inf))
+        if verbose:
+            print(f"Resuming full training state at epoch {epoch} "
+                  f"(best_val={best_val:.4f}).")
     while epoch < cfg.unfreeze_epoch:
         freeze_phase = cfg.freeze_train and epoch < cfg.freeze_epoch
         if freeze_phase != frozen_now:
@@ -226,6 +241,15 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
                                 cfg.weight_decay, prefixes)
             if state is None:
                 state = create_train_state(model, variables, tx)
+                if resumed is not None:
+                    from tpu_unet.train.checkpoint import restore_opt_state
+
+                    state = state.replace(
+                        opt_state=restore_opt_state(state.opt_state,
+                                                    resumed["opt_state"]),
+                        step=jnp.asarray(int(resumed.get("step", 0)),
+                                         jnp.int32))
+                    resumed = None
             else:
                 state = state.replace(tx=tx, opt_state=tx.init(state.params))
             state = replicate(state, mesh)
@@ -255,9 +279,15 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
             batch = shard_batch(batch, mesh)
             key = jax.random.fold_in(root_key, epoch * 100_003 + nb)
             state, metrics = train_step(state, batch, lr, key)
-            tloss += float(metrics["loss"])
-            tf += float(metrics["f_score"])
+            step_loss = float(metrics["loss"])
+            step_f = float(metrics["f_score"])
+            tloss += step_loss
+            tf += step_f
             nb += 1
+            if wandb_logger is not None and jax.process_index() == 0:
+                # per-iteration metrics (reference: utils/utils_fit.py:363-372)
+                wandb_logger.log_step(int(state.step), loss=step_loss,
+                                      f_score=step_f, lr=lr)
             if max_steps_per_epoch and nb >= max_steps_per_epoch:
                 break
         tloss /= max(nb, 1)
@@ -288,19 +318,26 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
                              "batch_stats": state.batch_stats}
             if miou_callback is not None:
                 miou_callback.on_epoch_end(epoch, variables_now)
-            # checkpoint cadence mirrors utils/utils_fit.py:153-172
-            if (epoch + 1) % cfg.save_period == 0 or epoch + 1 == cfg.unfreeze_epoch:
-                save_variables(os.path.join(
-                    cfg.save_dir,
-                    f"ep{epoch + 1:03d}-loss{tloss:.3f}-val_loss{vloss:.3f}.msgpack"),
-                    variables_now)
+            # checkpoint cadence mirrors utils/utils_fit.py:153-172; the
+            # periodic and last checkpoints carry FULL state (opt_state +
+            # epoch + best_val) for true resume; best stays weights-only
+            # (it exists to be served)
             if nvb and vloss < best_val:
                 best_val = vloss
                 save_variables(os.path.join(cfg.save_dir,
                                             "best_epoch_weights.msgpack"),
                                variables_now)
-            save_variables(os.path.join(cfg.save_dir, "last_epoch_weights.msgpack"),
-                           variables_now)
+            if (epoch + 1) % cfg.save_period == 0 or epoch + 1 == cfg.unfreeze_epoch:
+                ck_path = os.path.join(
+                    cfg.save_dir,
+                    f"ep{epoch + 1:03d}-loss{tloss:.3f}-val_loss{vloss:.3f}.msgpack")
+                save_full_state(ck_path, state, epoch + 1, best_val)
+                if wandb_logger is not None:
+                    # reference: utils/utils_fit.py:458-471 wandb.save
+                    wandb_logger.save_checkpoint(ck_path)
+            save_full_state(os.path.join(cfg.save_dir,
+                                         "last_epoch_weights.msgpack"),
+                            state, epoch + 1, best_val)
 
         # best-state snapshots must be host-resident (the next train step
         # donates, i.e. deletes, the current device buffers) and are only
