@@ -3,10 +3,17 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol: batched uint8 images → H2D → on-device /255 normalize → flagship
-VGG16-UNet forward (bf16 compute) → softmax → argmax → D2H int8 masks.
-This is the reference's get_FPS measurement (unet.py:205-258: forward +
-softmax + argmax + D2H) batched and with preprocessing on device, at the
-BASELINE.md north-star shape (512×512).
+VGG16-UNet forward (bf16 compute) → final conv + argmax → masks (device)
++ per-image class histogram (host).  This is the reference's get_FPS
+measurement (unet.py:205-258: forward + softmax + argmax + D2H) batched
+and with preprocessing on device, at the BASELINE.md north-star shape
+(512×512).
+
+The timed step is the PUBLIC serving path — ``infer.wrapper.Unet
+.serving_step()`` — i.e. exactly what ``Unet.batch_infer`` /
+``tools.predict.predict_dir_batched`` drive; there is no bench-private
+model build (mask identity between the fast and plain serving paths is
+asserted by tests/test_serving_path.py).
 
 vs_baseline: north star is ≥5000 img/s on a v5e-8 ⇒ 625 img/s/chip
 (BASELINE.md #8); value/625 ≥ 1.0 means the per-chip share is met.
@@ -27,65 +34,22 @@ BASELINE_PER_CHIP = 5000.0 / 8.0
 
 def build_forward(batch: int, size: int = 512, num_classes: int = 21,
                   model_name: str = "unet_vgg"):
-    from tpu_unet.models.registry import build_model, init_model
+    """Returns (step, variables): the wrapper's public serving step, with
+    ``step`` returning only the histogram (masks are a device-resident
+    product — downstream eval/render consume them there; this harness's
+    tunneled relay moves D2H at ~9 MB/s and would measure the relay, not
+    the framework, if it shipped full masks)."""
+    from tpu_unet.infer.wrapper import Unet
 
-    model = build_model(model_name, num_classes)
-    variables = init_model(model, (size, size))
-    # bf16 compute: cast params once; BN stats stay f32
-    variables = {
-        "params": jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), variables["params"]),
-        **{k: v for k, v in variables.items() if k != "params"},
-    }
-
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    paired = on_tpu and model_name in ("unet_vgg", "unet_resnet50")
-
-    from tpu_unet.models.unet import Unet
-
-    # input_scale (raw-uint8 ingest) is OFF here: measured on v5e the
-    # in-kernel u8 convert costs ~1.2 ms/step (Mosaic u8 vector loads)
-    # while the XLA-side normalize+copy costs ~0.4 — the u8 path exists
-    # for real-PCIe serving where halving H2D bytes dominates
-    paired_model = Unet(num_classes=num_classes,
-                        backbone=("resnet50" if model_name == "unet_resnet50"
-                                  else "vgg"),
-                        paired_head=True)
+    wrapper = Unet(model=model_name, num_classes=num_classes,
+                   input_shape=[size, size], model_path="")
+    serve, variables = wrapper.serving_step()
 
     @jax.jit
     def step(variables, imgs_u8):
-        # Masks stay on device (downstream eval/render consume them there);
-        # the host gets a compact per-image class histogram.  Pulling full
-        # masks is a no-op on real PCIe but this harness runs through a
-        # tunneled relay whose D2H crawls at ~9 MB/s — it would measure the
-        # relay, not the framework.
-        if paired:
-            # paired-layout serving head + fused Pallas tail: the last
-            # decoder stage emits column-paired features and the tail does
-            # final 1×1 conv + argmax + mask + histogram in one VMEM pass —
-            # the unpair relayout (1.3 ms/step) never runs
-            from tpu_unet.kernels.postprocess import (
-                fused_final_argmax_hist_paired)
-
-            # XLA normalize + one relayout copy (~0.4 ms) measured
-            # cheapest here: the stem's (B, H, W/2, 6) operand is
-            # lane-padded 6->128 in HBM, so ANY producer pays the padded
-            # -tile DMA — a Pallas normalize emitting dense rows just
-            # moves the cost into a materialized reshape (+0.4 ms)
-            x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-            feats = paired_model.apply(variables, x, False)
-            masks, hist = fused_final_argmax_hist_paired(
-                feats, variables["params"]["final"]["kernel"],
-                variables["params"]["final"]["bias"], num_classes)
-            del masks  # device-resident product; not shipped through relay
-            return hist.astype(jnp.int32)
-        # other flagships (unet_resnet50): standard apply — the fused
-        # decoder stages still engage through UnetUp — then argmax+hist
-        x = imgs_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-        logits = model.apply(variables, x, False)
-        masks = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-        classes = jnp.arange(num_classes, dtype=jnp.uint8)
-        return (masks[..., None] == classes).sum(axis=(1, 2)).astype(jnp.int32)
+        masks, hist = serve(variables, imgs_u8)
+        del masks  # device-resident product; not shipped through relay
+        return hist
 
     return step, variables
 
@@ -156,7 +120,7 @@ def main():
         # burst protocol, not sustained: this harness's tunneled relay caps
         # sustained dispatch at ~43 ms/call; see tools/bench_protocols.py
         # for the honest host-roundtrip variants and their recorded numbers
-        "protocol": "burst20scan-x3-median,device-resident-io",
+        "protocol": "burst20scan-x3-median,device-resident-io,public-serving-path",
     }))
 
 

@@ -46,3 +46,15 @@ def test_spatial_train_step():
     }, mesh)
     state, m = step(state, batch, 1e-3, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_spatial_sharding_cuts_peak_memory():
+    """The characterization artifact's CI anchor (SPATIAL_CHARACTERIZATION
+    .md §1): XLA's compiled per-device peak temp memory for the H-sharded
+    train step must be several times below the unsharded plan — the
+    fits-in-HBM case for spatial partitioning."""
+    from tpu_unet.tools.spatial_memory import compiled_peak_bytes
+
+    un = compiled_peak_bytes("traditional", 4, (1024, 1024), space=1)
+    sh = compiled_peak_bytes("traditional", 4, (1024, 1024), space=8)
+    assert sh["temp_bytes"] * 4 < un["temp_bytes"], (un, sh)

@@ -80,6 +80,26 @@ def cmd_train(args):
 
         wandb_logger = WandbLogger(project=args.wandb_project,
                                    config=dataclasses.asdict(cfg))
+
+    if args.dry_run:
+        # layout audit only — validates the dataset BEFORE the long run
+        # (the RUNBOOK_VOC.md pre-flight step)
+        import json
+
+        from tpu_unet.data.datasets import validate_layout
+        from tpu_unet.train.fit import DATASETS
+
+        root = cfg.dataset_path if os.path.isabs(cfg.dataset_path) \
+            else os.path.join(args.data_root, cfg.dataset_path)
+        report = validate_layout(DATASETS[cfg.dataset], root,
+                                 train_ids, val_ids, cfg.num_classes)
+        print(json.dumps(report, indent=2))
+        for w in report["warnings"]:
+            print(f"WARNING: {w}")
+        print("dry-run OK — dataset layout is usable; re-run without "
+              "--dry-run to train")
+        return
+
     # eval-during-training is default-on like the reference (train.py:445)
     fit(cfg, train_ids, val_ids, base_dir=args.data_root,
         wandb_logger=wandb_logger, auto_eval_callback=not args.no_eval)
@@ -192,6 +212,9 @@ def main(argv=None):
     p.add_argument("--no-pretrained", action="store_true",
                    help="train the backbone from random init even when the "
                         "preset asks for ImageNet weights")
+    p.add_argument("--dry-run", action="store_true",
+                   help="validate the dataset layout + splits and exit "
+                        "without training (the runbook pre-flight)")
     _add_common(p)
     p.set_defaults(fn=cmd_train)
 

@@ -113,3 +113,74 @@ class MedicalSegDataset(_SegDataset):
         out = np.zeros_like(png, dtype=np.int32)
         out[png <= 127.5] = 1
         return out
+
+
+def validate_layout(ds_cls, dataset_path: str, train_ids, val_ids,
+                    num_classes: int, probe: int = 4) -> dict:
+    """Audit a dataset layout BEFORE committing to a long training run —
+    the dry-run half of the VOC-parity runbook (RUNBOOK_VOC.md).
+
+    Checks: image/label directories exist, split ids are non-empty, the
+    first ``probe`` samples of each split actually open and pair up, and
+    label pixel values are sane (the reference's audit idiom,
+    voc_annotation.py:65-94: warn when a mask looks like a {0,255} binary
+    dump instead of class indices).  Raises ValueError with every fatal
+    problem collected; returns a report dict when the layout is usable.
+    """
+    problems, warnings_ = [], []
+    img_root = os.path.join(dataset_path, ds_cls.image_dir)
+    lbl_root = os.path.join(dataset_path, ds_cls.label_dir)
+    for d in (img_root, lbl_root):
+        if not os.path.isdir(d):
+            problems.append(f"missing directory: {d}")
+    if not train_ids:
+        problems.append("empty train split")
+    if problems:
+        raise ValueError("dataset layout invalid:\n  " + "\n  ".join(problems))
+
+    counts = np.zeros(256, np.int64)
+    checked = 0
+    for split, ids in (("train", train_ids), ("val", val_ids or [])):
+        for name in ids[:probe]:
+            img_path = os.path.join(dataset_path, ds_cls.image_dir,
+                                    name + ds_cls.image_ext)
+            lbl_path = os.path.join(dataset_path, ds_cls.label_dir,
+                                    name + ".png")
+            for p in (img_path, lbl_path):
+                if not os.path.isfile(p):
+                    problems.append(f"{split} id {name!r}: missing {p}")
+            if problems:
+                continue
+            try:
+                img = Image.open(img_path)
+                img.verify()
+                lbl = np.asarray(Image.open(lbl_path))
+            except Exception as e:  # corrupt file
+                problems.append(f"{split} id {name!r}: unreadable ({e})")
+                continue
+            counts += np.bincount(lbl.reshape(-1) if lbl.ndim == 2
+                                  else lbl[..., 0].reshape(-1),
+                                  minlength=256)[:256]
+            checked += 1
+    if problems:
+        raise ValueError("dataset layout invalid:\n  " + "\n  ".join(problems))
+
+    observed = np.nonzero(counts)[0]
+    in_range = observed[(observed < num_classes)]
+    out_of_range = observed[(observed >= num_classes) & (observed != 255)]
+    if len(observed) and set(observed.tolist()) <= {0, 255}:
+        warnings_.append(
+            "labels look binary {0,255} — if this is a 2-class task the "
+            "values must be class INDICES (reference audit: "
+            "voc_annotation.py:80-94)")
+    if len(out_of_range):
+        warnings_.append(
+            f"label values {out_of_range.tolist()} are >= num_classes="
+            f"{num_classes} (and not 255); they will be clamped to the "
+            f"ignore class")
+    report = {
+        "train_ids": len(train_ids), "val_ids": len(val_ids or []),
+        "probed": checked, "label_values": observed.tolist(),
+        "classes_seen": in_range.tolist(), "warnings": warnings_,
+    }
+    return report
