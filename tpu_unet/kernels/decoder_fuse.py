@@ -658,12 +658,24 @@ def _unpaired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
         cc = jnp.concatenate([sk, ups], axis=-1)
 
         def conv3(src, R, k, bias):
-            # shift the f32 results per kx (3 shifts) instead of the wide
-            # bf16 inputs per (ky, kx); sequential kx folding keeps at
-            # most two f32 accumulators live (VMEM).  (A wide-K variant —
-            # kx folded into the contraction dim — measured +4% in
-            # isolation but -9% e2e: the 3x concat buffer wrecks the
-            # grid pipeline's VMEM headroom.)
+            # INPUT-side kx shifts, shared across ky (A/B:
+            # TPU_UNET_ENC_INSHIFT; see encoder.py::_conv3_kxsum).  (A
+            # wide-K variant — kx folded into the contraction dim —
+            # measured +4% in isolation but -9% e2e: the 3x concat
+            # buffer wrecks the grid pipeline's VMEM headroom.)
+            from tpu_unet.kernels.encoder import _inshift
+            if _inshift():
+                sm1 = _shift_cols_zero(src, -1)
+                sp1 = _shift_cols_zero(src, 1)
+                acc = _mm(sm1[0:R], k[0, 0])
+                acc += _mm(src[0:R], k[0, 1])
+                acc += _mm(sp1[0:R], k[0, 2])
+                for ky in (1, 2):
+                    acc += _mm(sm1[ky:ky + R], k[ky, 0])
+                    acc += _mm(src[ky:ky + R], k[ky, 1])
+                    acc += _mm(sp1[ky:ky + R], k[ky, 2])
+                return jax.nn.relu(acc.astype(dt) + bias[...][None, :])
+
             def kxsum(kx):
                 t = _mm(src[0:R], k[0, kx])
                 for ky in (1, 2):

@@ -42,8 +42,30 @@ from tpu_unet.kernels.decoder_fuse import _mm, _shift_cols_zero
 _LEAD = 4  # host pad rows above the image (≥ max halo of 3)
 
 
+def _inshift() -> bool:
+    """INPUT-side kx shifts (A/B: TPU_UNET_ENC_INSHIFT, default on):
+    two bf16 copies of the input window shared across ky instead of two
+    f32 copies of the (R, W, F) partials — at C == F ~45% less VPU copy
+    traffic, one f32 accumulator live instead of two."""
+    import os
+    return os.environ.get("TPU_UNET_ENC_INSHIFT",
+                          "1").lower() not in ("0", "false", "off")
+
+
 def _conv3_kxsum(src, R, k, bias, dt):
     """(R+2, W, C) → (R, W, F) = relu(3×3 conv + bias); k (3, 3, C, F)."""
+    if _inshift():
+        sm1 = _shift_cols_zero(src, -1)
+        sp1 = _shift_cols_zero(src, 1)
+        acc = _mm(sm1[0:R], k[0, 0])
+        acc += _mm(src[0:R], k[0, 1])
+        acc += _mm(sp1[0:R], k[0, 2])
+        for ky in (1, 2):
+            acc += _mm(sm1[ky:ky + R], k[ky, 0])
+            acc += _mm(src[ky:ky + R], k[ky, 1])
+            acc += _mm(sp1[ky:ky + R], k[ky, 2])
+        return jax.nn.relu(acc.astype(dt) + bias[...][None, :])
+
     def kxsum(kx):
         t = _mm(src[0:R], k[0, kx])
         for ky in (1, 2):

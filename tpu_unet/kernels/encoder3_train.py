@@ -37,18 +37,32 @@ from tpu_unet.kernels.encoder import reference_vgg_block
 
 
 def _conv_nat(src, R, k, dt, bias=None, relu=False):
-    """Natural-layout 3×3 conv: per-kx column shifts of per-ky matmul
-    sums (the encoder kernel's kxsum pattern).  src (R+2, W, C),
-    k (3, 3, C, F) → (R, W, F)."""
-    def kxsum(kx):
-        t = _mm(src[0:R], k[0, kx])
-        for ky in (1, 2):
-            t += _mm(src[ky:ky + R], k[ky, kx])
-        return t
+    """Natural-layout 3×3 conv.  src (R+2, W, C), k (3, 3, C, F) →
+    (R, W, F).
 
-    acc = _shift_cols_zero(kxsum(0), -1)
-    acc += kxsum(1)
-    acc += _shift_cols_zero(kxsum(2), 1)
+    kx is resolved with INPUT-side column shifts shared across ky (A/B:
+    TPU_UNET_ENC_INSHIFT, see kernels/encoder.py::_conv3_kxsum)."""
+    from tpu_unet.kernels.encoder import _inshift
+    if _inshift():
+        sm1 = _shift_cols_zero(src, -1)
+        sp1 = _shift_cols_zero(src, 1)
+        acc = _mm(sm1[0:R], k[0, 0])
+        acc += _mm(src[0:R], k[0, 1])
+        acc += _mm(sp1[0:R], k[0, 2])
+        for ky in (1, 2):
+            acc += _mm(sm1[ky:ky + R], k[ky, 0])
+            acc += _mm(src[ky:ky + R], k[ky, 1])
+            acc += _mm(sp1[ky:ky + R], k[ky, 2])
+    else:
+        def kxsum(kx):
+            t = _mm(src[0:R], k[0, kx])
+            for ky in (1, 2):
+                t += _mm(src[ky:ky + R], k[ky, kx])
+            return t
+
+        acc = _shift_cols_zero(kxsum(0), -1)
+        acc += kxsum(1)
+        acc += _shift_cols_zero(kxsum(2), 1)
     if bias is not None:
         acc = acc.astype(dt) + bias[...][None, :]
         return jax.nn.relu(acc) if relu else acc

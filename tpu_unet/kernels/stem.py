@@ -83,6 +83,13 @@ def _make_stem_kernel(Wp, F, dt, lane_roll, convert_in=False):
         if convert_in:  # raw uint8 image: normalize scale lives in k11p
             # Mosaic has no direct u8->f32 cast; widen through i32
             xs = xs.astype(jnp.int32).astype(jnp.float32)
+        # im2col build: 9 shifted 6-lane views.  Two measured-and-rejected
+        # restructurings (round 4): (a) a zero-row host pad killing the
+        # vcc mask — padding the 6-lane image in HBM pays the 128-lane
+        # tile bloat on the whole copy, ~-4% e2e; (b) a two-level build
+        # (shift once into an 18-lane group, row-slice per ky) — the
+        # unaligned row slices of the 18-lane buffer materialize as
+        # full-tile copies, ~-3% e2e.
         views = []
         for ky in range(3):
             rows = xs[ky:ky + R1]
