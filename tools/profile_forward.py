@@ -4,7 +4,10 @@
 Usage (TPU): python tools/profile_forward.py [unet_vgg|train] [batch]
 """
 import glob
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

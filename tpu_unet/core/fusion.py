@@ -111,8 +111,12 @@ def use_paired_train() -> bool:
     return _switch("paired_train", "TPU_UNET_PAIRED_TRAIN", _on_tpu())
 
 
-def fuse_deep_stage() -> bool:
-    return _switch("deep", "TPU_UNET_FUSE_DEEP", False)
+def fuse_deep_stage(shape_default: bool = False) -> bool:
+    """Deep decoder stage fusion.  ``shape_default``: the caller's
+    per-shape measured default (decoder_fuse passes True for VGG's up4,
+    which wins fused since round 4; everything else defaults off).  The
+    env var / programmatic override still wins outright."""
+    return _switch("deep", "TPU_UNET_FUSE_DEEP", shape_default)
 
 
 def set_lowres_up(on: bool | None) -> None:

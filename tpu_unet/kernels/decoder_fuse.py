@@ -761,10 +761,16 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     if T % 2 or T < 8 or H2 % T:
         return None  # shapes this kernel can't tile; caller falls back
     from tpu_unet.core import fusion
+    # VGG's up4 (H=32, Cp=1024, F=512) defaults FUSED since round 4: the
+    # XLA composition's relayout copies around its convs grew to ~3.0
+    # ms/step and the fused wide+lowres stage measured 319.5 -> 327.8
+    # img/s e2e.  Other deep shapes (resnet50's up3/up4: F=256 or
+    # Cx=2048) stay XLA-gated — XLA measured faster there, and the
+    # Cx=2048 shape hits an invalid Mosaic layout.  TPU_UNET_FUSE_DEEP
+    # still force-overrides both ways.
+    deep_fused_default = (H == 32 and Cp == 1024 and F == 512)
     if (not paired and H <= 32 and Cp >= 1024 and not allow_deep
-            and not fusion.fuse_deep_stage()):
-        # deepest stage (tiny spatial, heavy channels): XLA's native conv
-        # pipeline wins — measured 0.89x on v5e at (32², 1024→512)
+            and not fusion.fuse_deep_stage(deep_fused_default)):
         return None
 
     # plane-paired path for the F >= 128 stages: the upsample's even/odd

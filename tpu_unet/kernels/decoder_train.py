@@ -1465,11 +1465,11 @@ def fused_unetup_bwd_wide_impl(g, out, y1p, skip, x, k1, k2, Cs,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # 110 MB: the F=512 stage needs ~103 MB at T=16, and ~108 MB
+            # 114 MB: the F=512 stage needs ~103 MB at T=16, ~108 MB
             # once the surrounding stages run their low-res backwards
-            # (operand staging changes at the Pallas boundaries); v5e has
-            # 128 MB physical VMEM
-            vmem_limit_bytes=110 * 1024 * 1024),
+            # (operand staging changes at the Pallas boundaries), and
+            # ~111.1 MB at batch 16; v5e has 128 MB physical VMEM
+            vmem_limit_bytes=114 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
       jnp.asarray(validx).astype(dt), jnp.asarray(skv).astype(dt),

@@ -95,14 +95,16 @@ def main(out_path: str = "BENCH_DETAIL.json"):
 
     from tpu_unet.tools.train_bench import bench_train_step
 
-    tr = bench_train_step("unet_vgg", batch=8, size=512, iters=10)
-    entry = {
-        "metric": "unet_vgg_512px_train_step",
-        "value": round(tr["train_images_per_sec_per_chip"], 2),
-        "unit": "images/sec/chip", "batch": 8, "protocol": tr["protocol"],
-    }
-    print(json.dumps(entry))
-    entries.append(entry)
+    for tb in (8, 16):
+        tr = bench_train_step("unet_vgg", batch=tb, size=512, iters=10)
+        entry = {
+            "metric": f"unet_vgg_512px_train_step_b{tb}",
+            "value": round(tr["train_images_per_sec_per_chip"], 2),
+            "unit": "images/sec/chip", "batch": tb,
+            "protocol": tr["protocol"],
+        }
+        print(json.dumps(entry))
+        entries.append(entry)
 
     tr2 = bench_train_step("ultralight_large_optimized", batch=32, size=256,
                            num_classes=4, iters=10)
