@@ -134,3 +134,38 @@ def test_presets_complete():
     for name, cfg in PRESETS.items():
         assert isinstance(cfg, TrainConfig)
         assert cfg.unfreeze_epoch > cfg.init_epoch
+
+
+def test_resnet50_train_step_fused_routing():
+    """The paired-train gates must route resnet50's deepest decoder stage
+    (Cs=1024, Cx=2048 — a Mosaic invalid-input-layout shape on TPU) to
+    the XLA composition while the other stages keep their fused kernels.
+    Regression test for the round-4 TPU compile crash: training
+    unet_resnet50 with the default fusion switches must build and step."""
+    import jax
+    import numpy as np
+
+    from tpu_unet.core import fusion
+    from tpu_unet.models.registry import build_model, init_model
+    from tpu_unet.train.step import (StepConfig, create_train_state,
+                                     make_optimizer, make_train_step)
+
+    fusion.set_paired_train(True)
+    fusion.set_fused_decoder(True)
+    try:
+        model = build_model("unet_resnet50", 4)
+        v = init_model(model, (64, 64), train=True)
+        cfg = StepConfig(num_classes=4, cls_weights=(1, 1, 1, 1),
+                         use_dice=True)
+        state = create_train_state(model, v, make_optimizer("adam"))
+        step = make_train_step(model, cfg)
+        rng = np.random.RandomState(0)
+        batch = {
+            "image": rng.randint(0, 255, (2, 64, 64, 3)).astype("uint8"),
+            "label": rng.randint(0, 4, (2, 64, 64)).astype("int32"),
+        }
+        state, m = step(state, batch, 1e-4, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+    finally:
+        fusion.set_paired_train(None)
+        fusion.set_fused_decoder(None)

@@ -103,7 +103,8 @@ class Unet(nn.Module):
             if fusion.use_fused_decoder() and not self.is_initializing():
                 from tpu_unet.kernels.upconv import (fused_upconv,
                                                      fused_upconv_paired,
-                                                     fused_upconv_train)
+                                                     fused_upconv_train,
+                                                     reference_upconv)
                 if (train and self.features_out
                         and fusion.use_paired_train()):
                     return fused_upconv_train(*a)  # paired, for the loss
@@ -111,7 +112,13 @@ class Unet(nn.Module):
                     # paired serving head: the fused final+argmax tail
                     # (kernels/postprocess.py) consumes this directly
                     return fused_upconv_paired(*a)
-                up1 = fused_upconv(*a)
+                if train:
+                    # training without the paired-loss head (e.g. fused
+                    # loss off): the inference kernel has no VJP — use
+                    # the differentiable XLA composition
+                    up1 = reference_upconv(*a)
+                else:
+                    up1 = fused_upconv(*a)
             else:
                 from tpu_unet.kernels.upconv import reference_upconv
                 up1 = reference_upconv(*a)

@@ -223,7 +223,13 @@ class UnetUp(nn.Module):
                 from tpu_unet.core import fusion
                 if fusion.use_fused_train():
                     return fused_unetup_train(skip, x, k1, b1, k2, b2)
-                if fusion.use_paired_train() and k1.shape[-1] >= 128:
+                # resnet50's deepest stage (Cs=1024, Cx=2048) hits a
+                # Mosaic invalid-input-layout in the wide kernels (the
+                # same shape the inference path deep-gates); XLA autodiff
+                # handles it
+                deep_invalid = skip.shape[-1] >= 1024 or x.shape[-1] >= 2048
+                if (fusion.use_paired_train() and k1.shape[-1] >= 128
+                        and not deep_invalid):
                     from tpu_unet.kernels.decoder_fuse import (
                         fused_unetup_train_wide)
                     return fused_unetup_train_wide(skip, x, k1, b1, k2, b2)

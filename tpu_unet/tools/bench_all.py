@@ -106,6 +106,15 @@ def main(out_path: str = "BENCH_DETAIL.json"):
         print(json.dumps(entry))
         entries.append(entry)
 
+    trr = bench_train_step("unet_resnet50", batch=16, size=512, iters=10)
+    entry = {
+        "metric": "unet_resnet50_512px_train_step_b16",
+        "value": round(trr["train_images_per_sec_per_chip"], 2),
+        "unit": "images/sec/chip", "batch": 16, "protocol": trr["protocol"],
+    }
+    print(json.dumps(entry))
+    entries.append(entry)
+
     tr2 = bench_train_step("ultralight_large_optimized", batch=32, size=256,
                            num_classes=4, iters=10)
     entry = {
