@@ -4,10 +4,21 @@ data-parallel paths are exercised without TPU hardware (SURVEY.md §4).
 Note: this image's sitecustomize registers an `axon` TPU backend whenever
 PALLAS_AXON_POOL_IPS is set; tests must run on local CPU, so we both clear
 that and pin jax_platforms before any backend initializes.
+
+TPU_UNET_TPU_TESTS=1 opts OUT of the CPU pin so the TPU-gated tests
+(tests/test_tpu_identity.py) run on the real chip:
+
+    TPU_UNET_TPU_TESTS=1 python -m pytest tests/test_tpu_identity.py -q
+
+Everything else in the suite is CPU-designed; run it without the flag
+(the gated tests then self-skip on backend != tpu/axon).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_ON_TPU = os.environ.get("TPU_UNET_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +27,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+if not _ON_TPU:
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass

@@ -74,13 +74,6 @@ def cmd_train(args):
         val_path = os.path.join(sets, "val.txt")
         val_ids = read_split(val_path) if os.path.exists(val_path) else []
 
-    wandb_logger = None
-    if args.wandb:
-        from tpu_unet.train.wandb_logging import WandbLogger
-
-        wandb_logger = WandbLogger(project=args.wandb_project,
-                                   config=dataclasses.asdict(cfg))
-
     if args.dry_run:
         # layout audit only — validates the dataset BEFORE the long run
         # (the RUNBOOK_VOC.md pre-flight step)
@@ -99,6 +92,13 @@ def cmd_train(args):
         print("dry-run OK — dataset layout is usable; re-run without "
               "--dry-run to train")
         return
+
+    wandb_logger = None
+    if args.wandb:
+        from tpu_unet.train.wandb_logging import WandbLogger
+
+        wandb_logger = WandbLogger(project=args.wandb_project,
+                                   config=dataclasses.asdict(cfg))
 
     # eval-during-training is default-on like the reference (train.py:445)
     fit(cfg, train_ids, val_ids, base_dir=args.data_root,

@@ -168,12 +168,17 @@ def validate_layout(ds_cls, dataset_path: str, train_ids, val_ids,
     observed = np.nonzero(counts)[0]
     in_range = observed[(observed < num_classes)]
     out_of_range = observed[(observed >= num_classes) & (observed != 255)]
-    if len(observed) and set(observed.tolist()) <= {0, 255}:
+    # Datasets with a custom raw-pixel→class mapping (e.g. MedicalSegDataset's
+    # ≤127.5→1 rule) expect non-index pixel values on disk — the index-space
+    # sanity warnings below would be misleading advice for them.
+    custom_encode = ds_cls._encode_label is not _SegDataset._encode_label
+    if (not custom_encode and len(observed)
+            and set(observed.tolist()) <= {0, 255}):
         warnings_.append(
             "labels look binary {0,255} — if this is a 2-class task the "
             "values must be class INDICES (reference audit: "
             "voc_annotation.py:80-94)")
-    if len(out_of_range):
+    if not custom_encode and len(out_of_range):
         warnings_.append(
             f"label values {out_of_range.tolist()} are >= num_classes="
             f"{num_classes} (and not 255); they will be clamped to the "

@@ -109,10 +109,11 @@ class Unet:
             try:
                 loaded = load_any(self.model_path, name)
                 # full-state training checkpoints carry opt_state/epoch/…
-                # alongside the weights; serving consumes only the model
-                # collections
-                self.variables = {k: loaded[k] for k in
-                                  ("params", "batch_stats") if k in loaded}
+                # alongside the weights; serving drops exactly those keys so
+                # any extra model variable collection survives
+                _STATE_KEYS = ("opt_state", "epoch", "step", "best_val")
+                self.variables = {k: v for k, v in loaded.items()
+                                  if k not in _STATE_KEYS}
             except KeyError as e:
                 raise ValueError(
                     f"checkpoint {self.model_path!r} does not match model "
@@ -332,6 +333,48 @@ class Unet:
         if getattr(self, "_serving", None) is None:
             self._serving = self._build_serving()
         return self._serving
+
+    def serving_step_sharded(self, mesh, axis_name: str = "data"):
+        """Data-parallel serving over a ``jax.sharding.Mesh`` — the
+        multi-chip counterpart of :meth:`serving_step` (reference:
+        DataParallel inference, unet.py:95).
+
+        The single-chip serving step (including the fused Pallas fast
+        path) is ``shard_map``-ped over the batch axis, so each chip runs
+        the full kernel pipeline on its local batch shard with zero
+        collectives — inference is embarrassingly data-parallel.  Returns
+        ``(fn, variables)`` with the variables already replicated on the
+        mesh; callers place the image batch with a
+        ``NamedSharding(mesh, P(axis_name))`` (or pass host arrays and
+        let jit shard them via the function's input sharding).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fn, variables = self.serving_step()
+        smapped = jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(), P(axis_name)),
+            out_specs=(P(axis_name), P(axis_name)), check_vma=False)
+        step = jax.jit(smapped)
+        v_mesh = jax.device_put(variables, NamedSharding(mesh, P()))
+        return step, v_mesh
+
+    def batch_infer_sharded(self, images: np.ndarray, mesh,
+                            axis_name: str = "data") -> np.ndarray:
+        """:meth:`batch_infer` over a device mesh: (N, H, W, 3) → (N, H, W)
+        masks with N sharded across ``axis_name``.  N must divide evenly
+        by the mesh axis size."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fn, variables = self.serving_step_sharded(mesh, axis_name)
+        imgs = np.asarray(images)
+        n_shard = mesh.shape[axis_name]
+        if imgs.shape[0] % n_shard:
+            raise ValueError(
+                f"batch {imgs.shape[0]} not divisible by mesh axis "
+                f"{axis_name!r} of size {n_shard}")
+        imgs = jax.device_put(imgs, NamedSharding(mesh, P(axis_name)))
+        masks, _ = fn(variables, imgs)
+        return np.asarray(masks).astype(np.int32)
 
     def batch_infer(self, images: np.ndarray) -> np.ndarray:
         """Fixed-shape batched masks — the TPU throughput path.

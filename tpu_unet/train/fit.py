@@ -221,6 +221,12 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
     if resumed is not None:
         epoch = int(resumed["epoch"])
         best_val = float(resumed.get("best_val", np.inf))
+        if epoch >= cfg.unfreeze_epoch:
+            raise ValueError(
+                f"resume checkpoint {cfg.model_path!r} was saved at epoch "
+                f"{epoch} >= unfreeze_epoch={cfg.unfreeze_epoch} — training "
+                f"is already complete.  Raise unfreeze_epoch to continue, or "
+                f"serve the weights directly (resume=False)")
         if verbose:
             print(f"Resuming full training state at epoch {epoch} "
                   f"(best_val={best_val:.4f}).")
@@ -244,9 +250,21 @@ def fit(cfg: TrainConfig, train_ids, val_ids, base_dir: str = ".",
                 if resumed is not None:
                     from tpu_unet.train.checkpoint import restore_opt_state
 
+                    try:
+                        state = state.replace(
+                            opt_state=restore_opt_state(state.opt_state,
+                                                        resumed["opt_state"]))
+                    except (KeyError, ValueError) as e:
+                        # checkpoint saved in the OTHER freeze phase: the
+                        # trainable mask (and hence opt-state tree) differs.
+                        # Warm-start from the weights with fresh moments
+                        # rather than dying at a natural interruption point
+                        # (the freeze→unfreeze boundary, train.py:458-471)
+                        print("warning: resume opt_state does not match this "
+                              f"phase's optimizer structure ({e}); continuing "
+                              "with fresh optimizer moments (weights + epoch "
+                              "are restored)")
                     state = state.replace(
-                        opt_state=restore_opt_state(state.opt_state,
-                                                    resumed["opt_state"]),
                         step=jnp.asarray(int(resumed.get("step", 0)),
                                          jnp.int32))
                     resumed = None
