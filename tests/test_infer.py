@@ -84,3 +84,30 @@ def test_stablehlo_export_roundtrip(tmp_path):
     probs = np.asarray(fn(x))
     assert probs.shape == (1, 32, 32, 4)
     np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+
+@pytest.mark.skipif(not has_ref, reason="bundled reference artifacts absent")
+def test_device_mask_path_matches_host_path():
+    """The device-side crop+argmax single-image path (uint8 mask D2H)
+    must produce EXACTLY the host path's mask at input resolution —
+    per-pixel argmax commutes with softmax, so this is an identity, not
+    an approximation (reference protocol: unet.py:205-258)."""
+    u = Unet(model_path=CKPT, model="ultralight_large_optimized",
+             num_classes=4, input_shape=[64, 64])
+    img = Image.open(os.path.join(IMG_DIR, "In_1.jpg"))
+
+    dev_mask, _ = u._device_mask_for(img)
+    pr, _ = u._probs_for(img)           # host path: cropped prob map
+    host_mask = pr.argmax(axis=-1)
+    assert dev_mask.dtype == np.uint8
+    np.testing.assert_array_equal(dev_mask.astype(np.int64), host_mask)
+
+    # fast rendering flags drive end-to-end
+    out = u.detect_image(img, fast=True)
+    assert out.size == img.size and out.mode == "RGB"
+    png = u.get_miou_png(img, fast=True)
+    assert png.size == img.size and png.mode == "L"
+
+    # both get_FPS protocols run
+    assert u.get_FPS(img, 2) > 0
+    assert u.get_FPS(img, 2, full_d2h=True) > 0

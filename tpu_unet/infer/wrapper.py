@@ -153,7 +153,9 @@ class Unet:
             return jax.nn.softmax(logits, axis=-1)
 
         self._forward_probs = forward_probs if onnx else jax.jit(forward_probs)
+        self._forward_probs_fn = forward_probs  # unjitted, for mask graphs
         self._serving = None  # built lazily by serving_step()
+        self._mask_fns = {}   # (nh, nw) -> jitted device-side crop+argmax
 
     # ------------------------------------------------------------------
     def _probs_for(self, image: Image.Image):
@@ -169,6 +171,42 @@ class Unet:
                 (ow - nw) // 2:(ow - nw) // 2 + nw]
         return pr, image
 
+    def _device_mask_for(self, image: Image.Image):
+        """Single-image fast path: crop + argmax ON DEVICE, so only a
+        uint8 mask (nh, nw) crosses D2H — ~84× fewer bytes than the
+        ~22 MB f32 probability map of `_probs_for` at 512px/21 classes.
+
+        Protocol-exact vs the reference's get_FPS loop (unet.py:205-258):
+        that loop crops the softmax'd map then argmaxes AT INPUT
+        RESOLUTION (no original-size resize inside the timed region), and
+        per-pixel argmax commutes with softmax — identical masks, fraction
+        of the transfer.  One jitted graph per letterboxed (nh, nw); the
+        cache makes repeat sizes free."""
+        image = cvt_rgb(image)
+        boxed, nw, nh = _letterbox_image(image, self.input_shape)
+        x = np.asarray(boxed, np.uint8)[None]
+        mask = np.asarray(self._get_mask_fn(nh, nw)(self.variables, x))
+        return mask, image
+
+    def _get_mask_fn(self, nh: int, nw: int):
+        """Cached jitted graph: forward → device crop to (nh, nw) →
+        argmax → uint8 mask."""
+        fn = self._mask_fns.get((nh, nw))
+        if fn is None:
+            oh, ow = self.input_shape
+            y0, x0 = (oh - nh) // 2, (ow - nw) // 2
+            probs_fn = self._forward_probs_fn
+
+            def mask_fn(variables, x):
+                pr = probs_fn(variables, x)[0]
+                pr = jax.lax.slice(pr, (y0, x0, 0),
+                                   (y0 + nh, x0 + nw, pr.shape[-1]))
+                return jnp.argmax(pr, axis=-1).astype(jnp.uint8)
+
+            fn = jax.jit(mask_fn)
+            self._mask_fns[(nh, nw)] = fn
+        return fn
+
     def _resize_probs(self, pr, orig_w, orig_h):
         """cv2 INTER_LINEAR prob-map resize (reference: unet.py:144)."""
         if cv2 is not None:
@@ -179,14 +217,35 @@ class Unet:
         return np.asarray(resize_bilinear(pr, (orig_h, orig_w),
                                           align_corners=False))
 
+    def _mask_resized(self, image, orig_w, orig_h):
+        """Device-side mask + host nearest-resize — the `fast=True`
+        rendering path.  Semantics caveat vs the default: the reference
+        bilinearly resizes the PROBABILITY map to the original size
+        before argmax (unet.py:144); resizing the argmax'd mask instead
+        moves class boundaries by <1px at typical scales but ships ~84×
+        fewer bytes off-device.  The default path stays reference-exact."""
+        mask, image = self._device_mask_for(image)
+        if (orig_h, orig_w) != mask.shape:
+            if cv2 is not None:
+                mask = cv2.resize(mask, (orig_w, orig_h),
+                                  interpolation=cv2.INTER_NEAREST)
+            else:
+                mask = np.asarray(Image.fromarray(mask).resize(
+                    (orig_w, orig_h), Image.NEAREST))
+        return mask.astype(np.int64), image
+
     def detect_image(self, image: Image.Image, count: bool = False,
-                     name_classes=None) -> Image.Image:
-        """reference: unet.py:101-203."""
+                     name_classes=None, fast: bool = False) -> Image.Image:
+        """reference: unet.py:101-203.  ``fast=True`` computes the mask on
+        device (uint8 D2H) and nearest-resizes it — see `_mask_resized`."""
         old_img = image.copy()
         orig_w, orig_h = image.size
-        pr, image = self._probs_for(image)
-        pr = self._resize_probs(pr, orig_w, orig_h)
-        mask = pr.argmax(axis=-1)
+        if fast:
+            mask, image = self._mask_resized(image, orig_w, orig_h)
+        else:
+            pr, image = self._probs_for(image)
+            pr = self._resize_probs(pr, orig_w, orig_h)
+            mask = pr.argmax(axis=-1)
 
         if count:
             classes_nums = np.zeros(self.num_classes, np.int64)
@@ -218,26 +277,46 @@ class Unet:
         seg = (arr * (mask[..., None] != 0)).astype(np.uint8)
         return Image.fromarray(seg)
 
-    def get_miou_png(self, image: Image.Image) -> Image.Image:
-        """reference: unet.py:298-344 — class-index PNG at original size."""
+    def get_miou_png(self, image: Image.Image,
+                     fast: bool = False) -> Image.Image:
+        """reference: unet.py:298-344 — class-index PNG at original size.
+        ``fast=True``: device-side mask + nearest resize (`_mask_resized`)."""
         orig_w, orig_h = image.size
+        if fast:
+            mask, _ = self._mask_resized(image, orig_w, orig_h)
+            return Image.fromarray(mask.astype(np.uint8))
         pr, _ = self._probs_for(image)
         pr = self._resize_probs(pr, orig_w, orig_h)
         return Image.fromarray(pr.argmax(axis=-1).astype(np.uint8))
 
-    def get_FPS(self, image: Image.Image, test_interval: int) -> float:
-        """Timed forward+softmax+D2H+argmax+crop loop
-        (reference: unet.py:205-258)."""
+    def get_FPS(self, image: Image.Image, test_interval: int,
+                full_d2h: bool = False) -> float:
+        """Timed forward+softmax+crop+argmax loop (reference:
+        unet.py:205-258).
+
+        The reference protocol argmaxes the cropped softmax map at input
+        resolution; per-pixel argmax commutes with softmax, so the timed
+        loop computes crop+argmax ON DEVICE and ships only the uint8 mask
+        — same math, ~84× less D2H than the reference's full f32
+        prob-map transfer.  ``full_d2h=True`` reverts to transferring the
+        probability map like the reference implementation does (for
+        apples-to-apples protocol comparisons)."""
         image = cvt_rgb(image)
         boxed, nw, nh = _letterbox_image(image, self.input_shape)
         x = np.asarray(boxed, np.uint8)[None]  # device-side normalize
 
-        def once():
-            pr = np.asarray(self._forward_probs(self.variables, x)[0])
-            oh, ow = self.input_shape
-            pr = pr[(oh - nh) // 2:(oh - nh) // 2 + nh,
-                    (ow - nw) // 2:(ow - nw) // 2 + nw]
-            return pr.argmax(axis=-1)
+        if full_d2h:
+            def once():
+                pr = np.asarray(self._forward_probs(self.variables, x)[0])
+                oh, ow = self.input_shape
+                pr = pr[(oh - nh) // 2:(oh - nh) // 2 + nh,
+                        (ow - nw) // 2:(ow - nw) // 2 + nw]
+                return pr.argmax(axis=-1)
+        else:
+            fn = self._get_mask_fn(nh, nw)
+
+            def once():
+                return np.asarray(fn(self.variables, x))
 
         once()  # warmup/compile
         t0 = time.time()

@@ -27,7 +27,8 @@ import numpy as np
 
 
 def get_fps_512(model_name: str = "unet_vgg", num_classes: int = 21,
-                size: int = 512, test_interval: int = 30):
+                size: int = 512, test_interval: int = 30,
+                full_d2h: bool = False, reference_fps=None):
     from PIL import Image
 
     from tpu_unet.infer.wrapper import Unet
@@ -36,10 +37,17 @@ def get_fps_512(model_name: str = "unet_vgg", num_classes: int = 21,
              input_shape=[size, size])
     img = Image.fromarray(np.random.RandomState(0).randint(
         0, 255, (size, size, 3)).astype(np.uint8))
-    tact = u.get_FPS(img, test_interval)
-    return {"metric": f"get_FPS_bs1_{size}px",
-            "value": round(1.0 / tact, 2), "unit": "fps",
-            "note": "reference protocol unet.py:205-258 incl. full prob-map D2H"}
+    tact = u.get_FPS(img, test_interval, full_d2h=full_d2h)
+    suffix = "_probD2H" if full_d2h else ""
+    out = {"metric": f"get_FPS_bs1_{size}px{suffix}"
+           + (f"_{model_name}" if model_name != "unet_vgg" else ""),
+           "value": round(1.0 / tact, 2), "unit": "fps",
+           "note": ("reference protocol unet.py:205-258 incl. full "
+                    "prob-map D2H" if full_d2h else
+                    "same protocol, crop+argmax on device, uint8 mask D2H")}
+    if reference_fps:
+        out["vs_reference_gpu_bs1"] = round(1.0 / tact / reference_fps, 2)
+    return out
 
 
 def true_e2e_512(batch: int = 8, num_classes: int = 21, size: int = 512,
@@ -83,6 +91,14 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     print(json.dumps(true_e2e_512(batch)), flush=True)
     print(json.dumps(get_fps_512()), flush=True)
+    print(json.dumps(get_fps_512(full_d2h=True)), flush=True)
+    # bs=1 SAME-protocol numbers against the reference's published GPU
+    # FPS (Submit_result/关键指标数据文档.txt: TraditionalUnet 82.75,
+    # UltraLightweightUnet_large_optimized 105.41)
+    print(json.dumps(get_fps_512("traditional", 4, 256,
+                                 reference_fps=82.75)), flush=True)
+    print(json.dumps(get_fps_512("ultralight_large_optimized", 4, 256,
+                                 reference_fps=105.41)), flush=True)
 
 
 if __name__ == "__main__":
