@@ -16,6 +16,7 @@ from tpu_unet.core import fusion
 def _reset_switches():
     yield
     fusion.set_fused_decoder(None)
+    fusion.set_fused_tail256(None)
 
 
 def _wrapper(model):
@@ -61,3 +62,26 @@ def test_serving_step_hist_consistency():
     for i in range(2):
         np.testing.assert_array_equal(
             hist[i], np.bincount(masks[i].ravel(), minlength=21))
+
+
+@pytest.mark.parametrize("model", ["traditional", "ultralight_large_optimized"])
+def test_fused_tail256_masks_match_plain(model):
+    """The natural-layout fused serving tail (final 1×1 conv + argmax +
+    histogram in one Pallas pass) for the 256px competition families must
+    reproduce the plain path's masks exactly (reference tail:
+    results__exported .py:48-55)."""
+    imgs = np.random.RandomState(3).randint(
+        0, 255, size=(2, 64, 64, 3)).astype(np.uint8)
+
+    fusion.set_fused_tail256(False)
+    u = _wrapper(model)
+    plain = u.batch_infer(imgs)
+
+    fusion.set_fused_tail256(True)
+    u.generate()  # rebuild serving graphs under the switch (same weights)
+    fast = u.batch_infer(imgs)
+    fusion.set_fused_tail256(None)
+
+    assert fast.shape == plain.shape == (2, 64, 64)
+    mismatch = (fast != plain).mean()
+    assert mismatch == 0.0, f"mask mismatch rate {mismatch:.2%}"

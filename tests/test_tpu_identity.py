@@ -27,9 +27,12 @@ requires_tpu = pytest.mark.skipif(
 def test_fast_vs_plain_mask_identity_512px_b8(model):
     """The fused fast serving path vs the plain XLA forward at the exact
     committed-benchmark shape.  Both run bf16 on-chip; Pallas and XLA
-    accumulate in different orders, so a handful of near-tie pixels may
-    legitimately flip — the bound (0.1%) is far below any real defect
-    (a layout/indexing bug shifts whole tiles, 10-100% mismatch)."""
+    accumulate in different orders, and with randomly-initialised weights
+    the 21 logits cluster tightly, so near-tie pixels legitimately flip
+    (measured ~0.5% on this chip).  A real defect (layout/indexing bug)
+    flips CONFIDENT pixels — so the assertion is margin-aware: every
+    disagreeing pixel must be a near-tie in the f32 master-weight
+    probability map, and the overall rate must stay small."""
     from tpu_unet.core import fusion
     from tpu_unet.infer.wrapper import Unet
 
@@ -48,8 +51,28 @@ def test_fast_vs_plain_mask_identity_512px_b8(model):
         fusion.set_fused_decoder(None)
 
     assert fast.shape == plain.shape == (8, 512, 512)
-    mismatch = float((fast != plain).mean())
-    assert mismatch < 1e-3, f"mask mismatch rate {mismatch:.4%}"
+    disagree = fast != plain
+    mismatch = float(disagree.mean())
+    assert mismatch < 2e-2, f"mask mismatch rate {mismatch:.4%}"
+    if mismatch:
+        # f32 probabilities from the master weights (the wrapper's
+        # reference-semantics forward), image by image to bound D2H
+        bad_margin = 0
+        for i in range(imgs.shape[0]):
+            if not disagree[i].any():
+                continue
+            pr = np.asarray(u._forward_probs(u.variables, imgs[i:i + 1])[0])
+            yy, xx = np.nonzero(disagree[i])
+            p_plain = pr[yy, xx, plain[i, yy, xx]]
+            p_fast = pr[yy, xx, fast[i, yy, xx]]
+            # a genuine flip needs the two classes' probabilities to be
+            # essentially tied; bf16 rounding moves probs by O(1e-3)
+            bad_margin += int((np.abs(p_plain - p_fast) > 2e-2).sum())
+        frac_bad = bad_margin / max(int(disagree.sum()), 1)
+        assert frac_bad < 1e-2, (
+            f"{bad_margin} disagreeing pixels ({frac_bad:.2%} of "
+            f"disagreements) have a non-tie probability margin — "
+            f"that is a real numerical defect, not bf16 tie-breaking")
 
 
 # production input sizes: the canonical 512px recipes (train.py:40) and

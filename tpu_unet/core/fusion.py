@@ -47,6 +47,7 @@ _overrides: dict[str, bool | None] = {
     "lowres_up_paired": None,
     "lowres_bwd": None,
     "lowres_bwd_paired": None,
+    "tail256": None,
 }
 
 
@@ -109,6 +110,20 @@ def use_paired_train() -> bool:
     if _overrides["paired_train"] is not None:
         return _overrides["paired_train"]
     return _switch("paired_train", "TPU_UNET_PAIRED_TRAIN", _on_tpu())
+
+
+def set_fused_tail256(on: bool | None) -> None:
+    """Force the fused final-conv+argmax+histogram serving tail for the
+    non-canonical (natural-layout) model families on/off."""
+    _overrides["tail256"] = on
+
+
+def use_fused_tail256() -> bool:
+    """Fused serving tail for the 256px competition families
+    (TraditionalUnet / LadderUNet): final 1×1 conv + argmax + histogram
+    in one Pallas pass over the pre-final feature map (default per the
+    A/B recorded in STATUS.md)."""
+    return _switch("tail256", "TPU_UNET_FUSED_TAIL256", _on_tpu())
 
 
 def fuse_deep_stage(shape_default: bool = False) -> bool:

@@ -382,6 +382,38 @@ class Unet:
 
             return step, variables
 
+        # natural-layout fused tail for the 256px competition families:
+        # final 1×1 conv + argmax + per-image histogram in one Pallas pass
+        # over the pre-final feature map — the logit tensor never touches
+        # HBM (A/B recorded in STATUS.md; reference tail:
+        # results__exported .py:48-55)
+        from tpu_unet.core.fusion import use_fused_tail256
+        from tpu_unet.models.ladder import LadderUNet
+        from tpu_unet.models.traditional import TraditionalUnet
+
+        if (use_fused_tail256()
+                and isinstance(self.net, (TraditionalUnet, LadderUNet))):
+            from tpu_unet.kernels.postprocess import fused_final_argmax_hist
+
+            feat_model = self.net.clone(features_out=True)
+            final_name = ("outc" if isinstance(self.net, TraditionalUnet)
+                          else "final")
+            fdt = jnp.bfloat16 if on_tpu else jnp.float32
+
+            @jax.jit
+            def step(variables, imgs):
+                x = imgs.astype(fdt)
+                if imgs.dtype == jnp.uint8:
+                    x = x / fdt(255.0)
+                feats = feat_model.apply(variables, x, False)
+                masks, hist = fused_final_argmax_hist(
+                    feats, variables["params"][final_name]["kernel"],
+                    variables["params"][final_name]["bias"], num_classes,
+                    interpret=jax.default_backend() == "cpu")
+                return masks.astype(jnp.uint8), hist.astype(jnp.int32)
+
+            return step, variables
+
         model = self.net
         dt = jnp.bfloat16 if on_tpu else jnp.float32
 

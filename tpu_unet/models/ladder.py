@@ -58,6 +58,11 @@ class LadderUNet(nn.Module):
     se: Optional[str] = None        # SE after each encoder stage
     dropout: float = 0.0            # Dropout2d on the bridge (0 = off)
     deploy: bool = False            # RepVGG fused-inference mode
+    features_out: bool = False      # emit the pre-final feature map
+                                    # (serving fuses the 1×1 conv into the
+                                    # Pallas tail; dec1 is already at input
+                                    # resolution, so the trailing resize is
+                                    # an identity)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -84,6 +89,8 @@ class LadderUNet(nn.Module):
             h = _make_block(self.block, c, self.deploy, f"dec{i}")(
                 jnp.concatenate([up, skip], axis=-1), train)
 
+        if self.features_out:
+            return h
         h = B.conv(self.num_classes, 1, name="final")(h)
         return resize_bilinear(h, x.shape[-3:-1], align_corners=True)
 

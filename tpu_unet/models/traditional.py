@@ -14,6 +14,8 @@ from tpu_unet.nn import blocks as B
 class TraditionalUnet(nn.Module):
     num_classes: int = 21
     base: int = 32
+    features_out: bool = False   # emit the pre-final feature map (serving
+                                 # fuses the 1×1 conv into the Pallas tail)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -27,6 +29,8 @@ class TraditionalUnet(nn.Module):
         h = B.Up(2 * c, name="up2")(h, x2, train)
         h = B.Up(c, name="up3")(h, x1, train)
 
+        if self.features_out:
+            return h
         return B.conv(self.num_classes, 1, name="outc")(h)
 
 
