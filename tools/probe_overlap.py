@@ -99,6 +99,10 @@ def indep_kernel(a_ref, w_ref, b_ref, k_ref, o_ref):
 
 
 def _run(name, kernel, args, out_shape):
+    """Times the kernel via a scan burst whose FIRST operand is chained
+    through the previous iteration's output — without the data dependency
+    XLA hoists the (pure, identical-input) pallas_call out of the scan
+    and the burst measures one call instead of 20.  Requires C == F."""
     fn = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -107,22 +111,26 @@ def _run(name, kernel, args, out_shape):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )
-    # scan the pallas_call to amortize relay dispatch
+    first = args[0]
+
     def burst(*a):
         def body(c, _):
-            return c, fn(*a)
-        _, ys = jax.lax.scan(body, 0, None, length=20)
-        return ys[-1]
+            out = fn(c, *a[1:])
+            nxt = out[:, :C].astype(first.dtype) * 1e-3  # keep bounded
+            return nxt, ()
+        last, _ = jax.lax.scan(body, a[0], None, length=100)
+        return last
 
     jb = jax.jit(burst)
-    jb(*args).block_until_ready()
+    # NB: on the tunneled backend block_until_ready does not reliably
+    # wait — a tiny np.asarray FETCH is the only true synchronization
+    np.asarray(jb(*args)[0, :8])
     ts = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
-        for _ in range(ITERS // 10):
-            r = jb(*args)
-        r.block_until_ready()
-        ts.append((time.perf_counter() - t0) / (20 * (ITERS // 10)))
+        r = jb(*args)
+        np.asarray(r[0, :8])
+        ts.append((time.perf_counter() - t0) / 100)
     t = min(ts) * 1e6
     print(f"{name:10s}: {t:8.1f} us/call")
     return t

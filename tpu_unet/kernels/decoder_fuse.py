@@ -402,7 +402,11 @@ def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
                 # zero padding the conv expects
                 sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0,
                                sk, jnp.zeros_like(sk))
-        skp = sk.reshape(E, W, 2 * Cs)
+        # sk arrives HOST-pre-paired (T+4, W, 2Cs): the in-kernel
+        # (E, W2, Cs)→(E, W, 2Cs) lane-merge produced a degenerate
+        # (1,128) layout that made the downstream row-merge reshape an
+        # invalid Mosaic layout at 2Cs = 2048 (resnet50's up4)
+        skp = sk
         cc = jnp.concatenate([skp[:, :, :Cs], even,
                               skp[:, :, Cs:], odd], axis=-1)
         y1 = _conv_rows_wide(cc, T + 2, k1d, k1eo, k1ee, b1p, dt)
@@ -477,7 +481,8 @@ def _wide_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
             if lead_off:
                 sk = jnp.where(skv[pl.ds(r0, T + 4)][:, None, :] != 0.0,
                                sk, jnp.zeros_like(sk))
-        skp = sk.reshape(E, W, 2 * Cs)
+        # host-pre-paired (see `_wide_kernel`): no in-kernel lane merge
+        skp = sk
         acc_sk = _conv_rows_wide_acc(skp, T + 2, k1sd, k1seo, k1see)
 
         y1 = jax.nn.relu((acc_sk + acc_up).astype(dt) + b1p[...][None, :])
@@ -768,7 +773,16 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # Cx=2048) stay XLA-gated — XLA measured faster there, and the
     # Cx=2048 shape hits an invalid Mosaic layout.  TPU_UNET_FUSE_DEEP
     # still force-overrides both ways.
-    deep_fused_default = (H == 32 and Cp == 1024 and F == 512)
+    import os as _os
+    _deep_shapes = {
+        (32, 1024, 512): "vgg_up4",
+        (32, 1024, 256): "rn50_up3",
+        (16, 3072, 512): "rn50_up4",
+    }
+    _tag = _deep_shapes.get((H, Cp, F))
+    _sel = _os.environ.get("TPU_UNET_DEEP_SEL")  # A/B: comma list of tags
+    deep_fused_default = (_tag is not None if _sel is None
+                          else _tag in _sel.split(","))
     if (not paired and H <= 32 and Cp >= 1024 and not allow_deep
             and not fusion.fuse_deep_stage(deep_fused_default)):
         return None
@@ -827,9 +841,17 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     if skip_prepadded and not use_prepad:
         skip = jax.lax.slice_in_dim(skip, 8, 8 + H2, axis=1)
         skip_prepadded = False
-    if skip_paired and not paired:
+    if skip_paired and not paired and not wide:
         rows = skip.shape[1]
         skip = skip.reshape(B, rows, W2, Cs)  # unpair for the unpaired kernel
+    elif not skip_paired and wide:
+        # HOST-side pair fold (a free, layout-preserving view): the wide
+        # kernels consume the skip as (rows, W, 2Cs) so no in-kernel
+        # lane-merging reshape exists — at 2Cs = 2048 (resnet50 up4) that
+        # reshape produced a degenerate (1,128) layout that made the
+        # conv's row-merge an invalid Mosaic layout
+        rows = skip.shape[1]
+        skip = skip.reshape(B, rows, W, 2 * Cs)
     # Skip row windows: a P8-prepadded producer buffer is consumed
     # directly (2-block window, 8-row lead); otherwise the window is
     # read as three CLAMPED row blocks + a where-mask — no host pad
@@ -844,23 +866,31 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     rs = np.arange(-2, H2 + 2)
     skv = np.repeat(((rs >= 0) & (rs < H2)).astype(np.float32
                                                    ).reshape(-1, 1),
-                    2 * Cs if paired else Cs, axis=1)
+                    2 * Cs if (paired or wide) else Cs, axis=1)
 
     grid = (B, H2 // T)
-    cdt = jnp.float32 if mxu_lerp else dt
+    # Mosaic limitation found on resnet50's up4 (Cs=1024, Cx=2048): a
+    # DYNAMICALLY-sliced (pl.ds over grid-dependent rows) 16-bit table at
+    # >= 2048 lanes loses its native sublane packing — the slice lands in
+    # a (1,128)-tiled layout whose compare/convert is "changeBitwidth
+    # when minor tiling is not 128".  Keep the dynamically-sliced tables
+    # 32-bit at those widths (exact same values; the h chain is f32
+    # anyway).  Narrower stages keep the measured-faster 16-bit tables.
+    cdt = jnp.float32 if (mxu_lerp or validx.shape[-1] >= 2048) else dt
+    svt = jnp.float32 if skv.shape[-1] >= 2048 else dt
     if lowres or lowres_p:
         colc = (_lowres_col_coeffs_paired(W, F) if lowres_p
                 else _lowres_col_coeffs(W, F))
         coef_args = [
             jnp.asarray(hw).astype(cdt), jnp.asarray(hsel).astype(cdt),
             jnp.asarray(validx).astype(cdt),
-            jnp.asarray(valid1).astype(dt), jnp.asarray(skv).astype(dt),
+            jnp.asarray(valid1).astype(dt), jnp.asarray(skv).astype(svt),
             jnp.asarray(colc).astype(dt)]
     else:
         coef_args = [
             jnp.asarray(hw).astype(cdt), jnp.asarray(hsel).astype(cdt),
             jnp.asarray(validx).astype(cdt),
-            jnp.asarray(valid1).astype(dt), jnp.asarray(skv).astype(dt),
+            jnp.asarray(valid1).astype(dt), jnp.asarray(skv).astype(svt),
             jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt)]
     coef_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(coef_args)
 
@@ -924,7 +954,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
         out_shape = jax.ShapeDtypeStruct((B, H2, W2, F), dt)
         out_spec = pl.BlockSpec((1, T, W2, F), lambda b, i: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        wsk, csk = W2, Cs
+        wsk, csk = W, 2 * Cs    # skip arrives host-pre-paired
     else:
         weight_args = (k1.astype(dt), b1.astype(dt),
                        k2.astype(dt), b2.astype(dt))

@@ -74,9 +74,55 @@ def _upconv_kernel(T, E, win, Cx, F, H2, W, dt, want_y1=False):
     return kernel
 
 
+def _upconv_kernel_p2(T, E, win, Cx, F, H2, W, dt):
+    """Two T-row sub-tiles per grid step, written as two INDEPENDENT
+    chains (probe: tools/probe_overlap.py — Mosaic's scheduler overlaps
+    dependence-free VPU and MXU chains inside one kernel body at ~max()
+    cost, but never across grid-step boundaries).  Sub-tile 1's upsample
+    lerp chain (pure VPU) has no dependence on sub-tile 0's convs (pure
+    MXU after the lerp), so the scheduler can hide most of the VPU time
+    under the matmuls — the grid-step-per-tile layout serialized them."""
+    def kernel(hw, hsel, validx, valid1,
+               we, wo, k1d, k1e, b1d, k2d, k2e, b2d,
+               x_l, x_m, x_h, out_ref):
+        i = pl.program_id(1)
+
+        def lerp(s):
+            r0 = i * 2 * T + s * T
+            off = T + s * (T // 2) - 2
+            xs = jnp.concatenate(
+                [x_l[0], x_m[0], x_h[0]], axis=0)[off:off + win]
+            h = _h_upsample_rows(xs, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
+                                 r0, H2, E)
+            h = h * validx[pl.ds(r0, E)]
+            even, odd = _w_expand_pair(h, we[...], wo[...])
+            return jnp.concatenate([even.astype(dt), odd.astype(dt)],
+                                   axis=-1)
+
+        def conv1(s, cc):
+            r0 = i * 2 * T + s * T
+            y1 = _conv_rows(cc, T + 2, k1d, k1e, b1d, dt)
+            return y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
+
+        # source-interleaved: sub-tile 1's VPU lerp chain is emitted
+        # between sub-tile 0's MXU conv passes so a program-order list
+        # scheduler can co-issue them
+        cc0 = lerp(0)
+        y1_0 = conv1(0, cc0)
+        cc1 = lerp(1)
+        out0 = _conv_rows(y1_0, T, k2d, k2e, b2d, dt)
+        y1_1 = conv1(1, cc1)
+        out1 = _conv_rows(y1_1, T, k2d, k2e, b2d, dt)
+        out_ref[0] = jnp.concatenate([out0, out1], axis=0)
+
+    return kernel
+
+
 def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
     """(B, H, W, Cx) → paired (B, 2H, W, 2F)[, y1 paired].  None if
     untileable."""
+    import os
+
     B, H, W, Cx = x.shape
     F = k1.shape[-1]
     H2 = 2 * H
@@ -87,6 +133,10 @@ def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
                                  2 if dt == jnp.bfloat16 else 4, cx=Cx)
     if T % 2 or T < 8 or H2 % T or H % (T // 2):
         return None
+    pipe2 = (os.environ.get("TPU_UNET_PIPE2", "0") not in ("0", "false")
+             and not want_y1 and H2 % (2 * T) == 0 and H % T == 0)
+    if pipe2:
+        return _fused_upconv_call_p2(x, k1, b1, k2, b2, T)
     E = T + 4
     win = T // 2 + 4
     interpret = jax.default_backend() == "cpu"
@@ -145,6 +195,66 @@ def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
       jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
       k1d, k1e, b1d, k2d, k2e, b2d, x, x, x)
     return res
+
+
+def _fused_upconv_call_p2(x, k1, b1, k2, b2, T):
+    """pallas_call plumbing for the 2-sub-tile pipelined head kernel."""
+    B, H, W, Cx = x.shape
+    F = k1.shape[-1]
+    H2 = 2 * H
+    dt = x.dtype
+    E = T + 4
+    win = T // 2 + 4
+    interpret = jax.default_backend() == "cpu"
+
+    hw, hsel, valid = _row_arrays(H)
+    we, wo = _col_arrays(W)
+    hw = np.repeat(hw, Cx, axis=1)[:, None, :]
+    hsel = np.repeat(hsel, Cx, axis=1)[:, None, :]
+    validx = np.repeat(valid, Cx, axis=1)[:, None, :]
+    we = np.repeat(we, Cx, axis=1)[None]
+    wo = np.repeat(wo, Cx, axis=1)[None]
+    r1 = np.arange(-1, H2 + 1)
+    valid1 = np.repeat(((r1 >= 0) & (r1 < H2)).astype(np.float32
+                                                      ).reshape(-1, 1),
+                       2 * F, axis=1)
+    k1d, k1e = _pair_weights(k1.astype(dt), 0, F)
+    k2d, k2e = _pair_weights(k2.astype(dt), F, F)
+    b1d = jnp.concatenate([b1, b1]).astype(dt)
+    b2d = jnp.concatenate([b2, b2]).astype(dt)
+
+    # x window per grid step: T-row blocks [iT-T, iT+2T) (clamped); each
+    # sub-tile slices its (T/2+4)-row window at offset T + s*T/2 - 2
+    nbx = H // T - 1
+    grid = (B, H2 // (2 * T))
+    x_specs = [
+        pl.BlockSpec((1, T, W, Cx),
+                     lambda b, i: (b, jnp.maximum(i - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, W, Cx), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, W, Cx),
+                     lambda b, i: (b, jnp.minimum(i + 1, nbx), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = jax.ShapeDtypeStruct((B, H2, W, 2 * F), dt)
+    out_spec = pl.BlockSpec((1, 2 * T, W, 2 * F), lambda b, i: (b, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = _upconv_kernel_p2(T, E, win, Cx, F, H2, W, dt)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12 + x_specs,
+        out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(hw).astype(dt), jnp.asarray(hsel).astype(dt),
+      jnp.asarray(validx).astype(dt), jnp.asarray(valid1).astype(dt),
+      jnp.asarray(we).astype(dt), jnp.asarray(wo).astype(dt),
+      k1d, k1e, b1d, k2d, k2e, b2d, x, x, x)
 
 
 # ---------------------------------------------------------------------------
