@@ -119,11 +119,26 @@ def set_fused_tail256(on: bool | None) -> None:
 
 
 def use_fused_tail256() -> bool:
-    """Fused serving tail for the 256px competition families
-    (TraditionalUnet / LadderUNet): final 1×1 conv + argmax + histogram
-    in one Pallas pass over the pre-final feature map (default per the
-    A/B recorded in STATUS.md)."""
+    """Fused serving tail for the 256px competition families: final 1×1
+    conv + argmax + histogram in one Pallas pass over the pre-final
+    feature map.  Measured at the committed 256px/b32 shape (v5e):
+    TraditionalUnet 894.7→914.2 (+2.2%) but LadderUNet 971.8→847.7
+    (−12.8%: its 44-lane feature map pads to 128 lanes in the tail
+    matmul — 3× the read bytes of the 4-channel logits the plain path
+    ships).  The wrapper therefore applies this per-family: on for
+    TraditionalUnet, and for LadderUNet only when explicitly forced
+    (see :func:`fused_tail256_forced`)."""
     return _switch("tail256", "TPU_UNET_FUSED_TAIL256", _on_tpu())
+
+
+def fused_tail256_forced() -> bool:
+    """True only when the tail256 switch was EXPLICITLY turned on
+    (programmatic override or env var) — the LadderUNet family ignores
+    the backend default because the fused tail measured slower there."""
+    if _overrides["tail256"] is not None:
+        return _overrides["tail256"]
+    val = os.environ.get("TPU_UNET_FUSED_TAIL256")
+    return val is not None and val.lower() not in _TRUTHY_OFF
 
 
 def fuse_deep_stage(shape_default: bool = False) -> bool:

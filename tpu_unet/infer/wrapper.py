@@ -387,12 +387,18 @@ class Unet:
         # over the pre-final feature map — the logit tensor never touches
         # HBM (A/B recorded in STATUS.md; reference tail:
         # results__exported .py:48-55)
-        from tpu_unet.core.fusion import use_fused_tail256
+        from tpu_unet.core.fusion import (fused_tail256_forced,
+                                          use_fused_tail256)
         from tpu_unet.models.ladder import LadderUNet
         from tpu_unet.models.traditional import TraditionalUnet
 
-        if (use_fused_tail256()
-                and isinstance(self.net, (TraditionalUnet, LadderUNet))):
+        # per-family gate (measured, see fusion.use_fused_tail256): the
+        # tail wins on TraditionalUnet and loses on the 44-wide ladder
+        # family, which only honors an EXPLICIT force
+        tail_ok = (isinstance(self.net, TraditionalUnet)
+                   and use_fused_tail256()) or (
+            isinstance(self.net, LadderUNet) and fused_tail256_forced())
+        if tail_ok:
             from tpu_unet.kernels.postprocess import fused_final_argmax_hist
 
             feat_model = self.net.clone(features_out=True)

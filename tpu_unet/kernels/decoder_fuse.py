@@ -72,6 +72,83 @@ def _row_arrays(H: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _row_arrays_eo(H: int):
+    """Per-PARITY H-lerp tables for `_h_upsample_rows_eo` — the
+    cheaper even/odd formulation of the ×2 align-corners row lerp.
+
+    Sequence index q covers the kernels' row window [r0-2, r0+T+2):
+    even rows u = 2(q-1) and odd rows u = 2q-1, both sliced at
+    pl.ds(r0//2, E//2).  Weights carry the row-validity fold and the
+    u=0 clamp (h[0] = x[0] → (wa, wb) = (0, 1)), so
+    h = xs_a·wa + xs_b·wb needs no select and no separate valid pass:
+
+      even seq r (u = r0-2+2r):  a = xs[r],     b = xs[r+1]
+      odd  seq r (u = r0-1+2r):  a = xs[r+1],   b = xs[r+2]
+    """
+    H2 = 2 * H
+    _, _, w = _lerp_coeffs(H, H2, True)
+    q = np.arange(H2 // 2 + 2)
+    ue = 2 * (q - 1)
+    uo = 2 * q - 1
+    ve = ((ue >= 0) & (ue < H2)).astype(np.float32)
+    vo = ((uo >= 0) & (uo < H2)).astype(np.float32)
+    we_ = w[np.clip(ue, 0, H2 - 1)]
+    wo_ = w[np.clip(uo, 0, H2 - 1)]
+    wa_e = (1.0 - we_) * ve
+    wb_e = we_ * ve
+    wa_e[ue == 0] = 0.0   # u=0 clamps to x[0] (= b operand)
+    wb_e[ue == 0] = 1.0
+    wa_o = (1.0 - wo_) * vo
+    wb_o = wo_ * vo
+    return tuple(a.reshape(-1, 1).astype(np.float32)
+                 for a in (wa_e, wb_e, wa_o, wb_o))
+
+
+def _eo_tables(hwu, hselu, validu, i, T, E):
+    """Slice the per-parity H-lerp tables at sequence base r0//2 = i·T/2.
+
+    Mosaic requires dynamic row-slice starts to be provably multiples of
+    8; i·(T/2) only is when T/2 % 8 == 0 (T=16).  For T=8 the slice
+    starts at a rounded base (i//2)·T — provably a multiple of 8 — and a
+    scalar select picks the 0- or 4-row offset window."""
+    half = T // 2
+    Eh = E // 2
+    if half % 8 == 0:
+        q0 = i * half
+        wae = hwu[pl.ds(q0, Eh)][:, None, :]
+        wbe = hselu[pl.ds(q0, Eh)][:, None, :]
+        wao = validu[pl.ds(q0, Eh), 0:1]
+        wbo = validu[pl.ds(q0, Eh), 1:2]
+        return wae, wbe, wao, wbo
+    qb = (i // 2) * T
+    even_step = (i % 2) == 0
+
+    def tab2(ref):
+        w = ref[pl.ds(qb, Eh + half)]
+        return jnp.where(even_step, w[0:Eh], w[half:half + Eh])[:, None, :]
+
+    wae, wbe = tab2(hwu), tab2(hselu)
+    w2 = validu[pl.ds(qb, Eh + half)]
+    wv = jnp.where(even_step, w2[0:Eh], w2[half:half + Eh])
+    return wae, wbe, wv[:, 0:1], wv[:, 1:2]
+
+
+def _h_upsample_rows_eo(xs, wa_e, wb_e, wa_o, wb_o, E):
+    """×2 align-corners H-lerp as two per-parity lerps + a row
+    interleave — ~half the VPU passes of `_h_upsample_rows` (no E-row
+    dup concats, no selects, no separate valid multiply).  Requires the
+    lane count to be a 128-multiple (the (E/2, 2, W, C) interleave
+    reshape is an unsupported Mosaic shape cast below that).  The
+    weight tables arrive (E/2, 1, C) pre-broadcast, parity-sliced by
+    the caller at pl.ds(r0//2, E//2)."""
+    Eh = E // 2
+    he = xs[0:Eh] * wa_e + xs[1:1 + Eh] * wb_e
+    ho = xs[1:1 + Eh] * wa_o + xs[2:2 + Eh] * wb_o
+    st = jnp.concatenate([he[:, None], ho[:, None]], axis=1)
+    return st.reshape(E, xs.shape[1], xs.shape[2])
+
+
+@functools.lru_cache(maxsize=None)
 def _col_arrays(W: int):
     """Even/odd-column lerp weights for the ×2 W axis: we[j] = w(2j),
     wo[j] = w(2j+1)."""
@@ -422,7 +499,7 @@ def _wide_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
 
 
 def _wide_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
-                        lead_off=0, clamp3=False):
+                        lead_off=0, clamp3=False, eo_lerp=False):
     """`_wide_kernel` with the LOW-RES up-half of conv1: instead of
     materialising the ×2-upsampled map and contracting it at full
     resolution, the per-(ky, kx) channel contractions run on the RAW
@@ -449,9 +526,14 @@ def _wide_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
         # ---- up-half of conv1 at LOW-RES rows ----
         cc8 = [colc[k][None] for k in range(8)]
         a0, b0, c1, d1, e0, f0, e2, f2 = cc8
-        hwv = hwu[pl.ds(r0, E)]
-        hsv = hselu[pl.ds(r0, E)]
-        vv = validu[pl.ds(r0, E)][:, None, :]
+        if eo_lerp:
+            # per-parity tables (hwu→wa_e, hselu→wb_e, validu→(rows,2,C)
+            # stacked [wa_o | wb_o] so the 3 coef slots are reused)
+            wae, wbe, wao, wbo = _eo_tables(hwu, hselu, validu, i, T, E)
+        else:
+            hwv = hwu[pl.ds(r0, E)]
+            hsv = hselu[pl.ds(r0, E)]
+            vv = validu[pl.ds(r0, E)][:, None, :]
         acc_up = None
         for ky in range(3):
             p = _mm(xs, kup[ky])                       # (win, W, 3F) f32
@@ -465,7 +547,10 @@ def _wide_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
             uo = (c1 * s0m + d1 * p0 + e0 * p1 + f0 * s1p
                   + e2 * p2 + f2 * s2p)
             u = jnp.concatenate([ue, uo], axis=-1)     # (win, W, 2F) f32
-            q = _h_upsample_rows(u, hwv, hsv, r0, H2, E) * vv
+            if eo_lerp:
+                q = _h_upsample_rows_eo(u, wae, wbe, wao, wbo, E)
+            else:
+                q = _h_upsample_rows(u, hwv, hsv, r0, H2, E) * vv
             acc_up = (q[ky:ky + T + 2] if acc_up is None
                       else acc_up + q[ky:ky + T + 2])
 
@@ -553,7 +638,7 @@ def _paired_kernel(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
 
 
 def _paired_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
-                          lead_off=0, clamp3=False):
+                          lead_off=0, clamp3=False, eo_lerp=False):
     """`_paired_kernel` with the LOW-RES up-half of conv1 (F < 128).
 
     Same commutation as `_wide_kernel_lowres`, but the per-(ky, kx)
@@ -574,9 +659,12 @@ def _paired_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
         xs = jnp.concatenate(
             [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
         cc7 = [colc[k][None] for k in range(7)]
-        hwv = hwu[pl.ds(r0, E)]
-        hsv = hselu[pl.ds(r0, E)]
-        vv = validu[pl.ds(r0, E)][:, None, :]
+        if eo_lerp:
+            wae, wbe, wao, wbo = _eo_tables(hwu, hselu, validu, i, T, E)
+        else:
+            hwv = hwu[pl.ds(r0, E)]
+            hsv = hselu[pl.ds(r0, E)]
+            vv = validu[pl.ds(r0, E)][:, None, :]
         acc_up = None
         for ky in range(3):
             p = _mm(xs, kup[ky])                   # (win, W, 3·2F) f32
@@ -589,7 +677,10 @@ def _paired_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt, want_y1=False,
             s2p = _shift_cols_zero(p2, 1)
             u = (cc7[0] * s0m + cc7[1] * p0 + cc7[2] * s1m + cc7[3] * p1
                  + cc7[4] * s1p + cc7[5] * p2 + cc7[6] * s2p)
-            q = _h_upsample_rows(u, hwv, hsv, r0, H2, E) * vv
+            if eo_lerp:
+                q = _h_upsample_rows_eo(u, wae, wbe, wao, wbo, E)
+            else:
+                q = _h_upsample_rows(u, hwv, hsv, r0, H2, E) * vv
             acc_up = (q[ky:ky + T + 2] if acc_up is None
                       else acc_up + q[ky:ky + T + 2])
 
@@ -821,10 +912,32 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     import os
     lerp_dt = dt if os.environ.get("TPU_UNET_LERP_BF16") == "1" \
         else jnp.float32
+    # even/odd-split H-lerp for the lowres kernels (fewer VPU passes:
+    # no dup concats / selects / separate valid multiply); tables ride
+    # the same three coef slots (hw→wa_e, hsel→wb_e, valid→[wa_o|wb_o]).
+    # Measured NEUTRAL e2e on VGG 512px/b8 (323.4/323.2 off vs
+    # 318.8/323.9 on, interleaved runs) — consistent with the overlap
+    # probe's finding that the per-ky VPU chains already hide under the
+    # MXU passes; kept opt-in for re-evaluation on other hardware.
+    eo_lerp = ((lowres or lowres_p) and (2 * F) % 128 == 0
+               and os.environ.get("TPU_UNET_EO_LERP", "0")
+               not in ("0", "false"))
     if mxu_lerp:
         validx = valid
         we = np.repeat(we.ravel(), Cx).reshape(1, W * Cx)
         wo = np.repeat(wo.ravel(), Cx).reshape(1, W * Cx)
+    elif eo_lerp:
+        wa_e, wb_e, wa_o, wb_o = _row_arrays_eo(H)
+        lanes = 2 * F
+        # +8 zero rows: the T=8 rounded-base window (`_eo_tables`) can
+        # read past H+2 sequence rows on some grid extents
+        hw = np.pad(np.repeat(wa_e, lanes, axis=1), ((0, 8), (0, 0)))
+        hsel = np.pad(np.repeat(wb_e, lanes, axis=1), ((0, 8), (0, 0)))
+        validx = np.pad(np.stack([np.repeat(wa_o, lanes, axis=1),
+                                  np.repeat(wb_o, lanes, axis=1)], axis=1),
+                        ((0, 8), (0, 0), (0, 0)))
+        we = np.repeat(we, Cx, axis=1)
+        wo = np.repeat(wo, Cx, axis=1)
     else:
         # lowres H-lerps the 2F-lane combined terms, not the Cx-lane x
         lanes = 2 * F if (lowres or lowres_p) else Cx
@@ -913,7 +1026,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
             kernel = _paired_kernel_lowres(T, E, win, Cs, Cx, F, H2, W,
                                            dt, want_y1,
                                            lead_off=6 if use_prepad else 0,
-                                           clamp3=clamp3)
+                                           clamp3=clamp3, eo_lerp=eo_lerp)
         else:
             k1d, k1e = _pair_weights(k1.astype(dt), Cs, F)
             weight_args = (k1d, k1e, b1d, k2d, k2e, b2d)
@@ -942,7 +1055,7 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
             kernel = _wide_kernel_lowres(T, E, win, Cs, Cx, F, H2, W, dt,
                                          want_y1=want_y1,
                                          lead_off=6 if use_prepad else 0,
-                                         clamp3=clamp3)
+                                         clamp3=clamp3, eo_lerp=eo_lerp)
         else:
             k1d, k1eo, k1ee = _pair_weights_eo(k1.astype(dt))
             weight_args = (k1d, k1eo, k1ee, b1p, k2d, k2eo, k2ee, b2p)

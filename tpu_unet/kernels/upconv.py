@@ -118,6 +118,36 @@ def _upconv_kernel_p2(T, E, win, Cx, F, H2, W, dt):
     return kernel
 
 
+def _upconv_kernel_wlow(T, E, win, Cx, F, H2, W, dt, want_y1=False):
+    """`_upconv_kernel` with the separable upsample REORDERED: the ×2
+    W-expansion runs at LOW-RES rows (win ≈ E/2 rows, so ~half the
+    work), its even/odd planes concat into the 2Cx=128-lane paired
+    layout, and the H-lerp then runs ONCE at full VPU lanes — the
+    original order H-lerped at 64 lanes (half-idle VPU) and W-expanded
+    at full-res rows.  Bilinear is separable, so the math is identical
+    (reassociated)."""
+    def kernel(hw, hsel, validx, valid1,
+               we, wo, k1d, k1e, b1d, k2d, k2e, b2d,
+               x_l, x_m, x_h, out_ref, *y1_ref):
+        i = pl.program_id(1)
+        r0 = i * T
+
+        xs = jnp.concatenate(
+            [x_l[0], x_m[0], x_h[0]], axis=0)[T // 2 - 2:T // 2 - 2 + win]
+        even_l, odd_l = _w_expand_pair(xs, we[...], wo[...])
+        ccl = jnp.concatenate([even_l, odd_l], axis=-1)  # (win, W, 2Cx)
+        h = _h_upsample_rows(ccl, hw[pl.ds(r0, E)], hsel[pl.ds(r0, E)],
+                             r0, H2, E)
+        cc = (h * validx[pl.ds(r0, E)]).astype(dt)
+        y1 = _conv_rows(cc, T + 2, k1d, k1e, b1d, dt)
+        y1 = y1 * valid1[pl.ds(r0, T + 2)][:, None, :]
+        if want_y1:
+            y1_ref[0][0] = y1[1:T + 1]
+        out_ref[0] = _conv_rows(y1, T, k2d, k2e, b2d, dt)
+
+    return kernel
+
+
 def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
     """(B, H, W, Cx) → paired (B, 2H, W, 2F)[, y1 paired].  None if
     untileable."""
@@ -141,13 +171,22 @@ def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
     win = T // 2 + 4
     interpret = jax.default_backend() == "cpu"
 
+    # REJECTED experiment (kept for the record): the separable-upsample
+    # reorder (`_upconv_kernel_wlow`) is exact in interpret mode but
+    # sends Mosaic into a pathological 11-minute compile at the
+    # production shape (8,256,256,64) — disqualifying regardless of
+    # runtime.  Likely the (win, W, 128) dup-concat chain after the
+    # low-res W-expand defeats the layout solver.
+    wlow = os.environ.get("TPU_UNET_HEAD_WLOW", "0") not in ("0", "false")
     hw, hsel, valid = _row_arrays(H)
     we, wo = _col_arrays(W)
     # (rows, 1, Cx) / (1, W, Cx): rank expansion happens HERE, not in the
-    # kernel — Mosaic rejects it on 64-lane arrays (see kernel comment)
-    hw = np.repeat(hw, Cx, axis=1)[:, None, :]
-    hsel = np.repeat(hsel, Cx, axis=1)[:, None, :]
-    validx = np.repeat(valid, Cx, axis=1)[:, None, :]
+    # kernel — Mosaic rejects it on 64-lane arrays (see kernel comment).
+    # The wlow kernel H-lerps the PAIRED (2Cx-lane) planes instead.
+    hlanes = 2 * Cx if wlow else Cx
+    hw = np.repeat(hw, hlanes, axis=1)[:, None, :]
+    hsel = np.repeat(hsel, hlanes, axis=1)[:, None, :]
+    validx = np.repeat(valid, hlanes, axis=1)[:, None, :]
     we = np.repeat(we, Cx, axis=1)[None]
     wo = np.repeat(wo, Cx, axis=1)[None]
     r1 = np.arange(-1, H2 + 1)
@@ -179,7 +218,8 @@ def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
     out_shapes = (out_shape, out_shape) if want_y1 else out_shape
     out_specs = (out_spec, out_spec) if want_y1 else out_spec
 
-    kernel = _upconv_kernel(T, E, win, Cx, F, H2, W, dt, want_y1)
+    kernel = (_upconv_kernel_wlow if wlow else _upconv_kernel)(
+        T, E, win, Cx, F, H2, W, dt, want_y1)
     res = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
