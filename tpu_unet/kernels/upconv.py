@@ -159,8 +159,12 @@ def fused_upconv_impl(x, k1, b1, k2, b2, want_y1=False, block_rows=None):
     dt = x.dtype
     if F >= 128 or F % 8 or Cx % 2 or k1.shape[2] != Cx:
         return None
-    T = block_rows or _pick_tile(H2, W, 2 * (Cx + 2 * F),
-                                 2 if dt == jnp.bfloat16 else 4, cx=Cx)
+    # TPU_UNET_HEAD_T: tile-size A/B knob.  T=32 at the resnet50 head
+    # shape is another pathological Mosaic compile (>28 min, killed) —
+    # the default T=16 stands.
+    T = block_rows or int(os.environ.get("TPU_UNET_HEAD_T", "0")) or \
+        _pick_tile(H2, W, 2 * (Cx + 2 * F),
+                   2 if dt == jnp.bfloat16 else 4, cx=Cx)
     if T % 2 or T < 8 or H2 % T or H % (T // 2):
         return None
     pipe2 = (os.environ.get("TPU_UNET_PIPE2", "0") not in ("0", "false")
