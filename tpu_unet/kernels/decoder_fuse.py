@@ -910,6 +910,15 @@ def _fused_unetup_fwd_impl(skip, x, k1, b1, k2, b2, block_rows=None,
     # compute dtype instead of f32 (halves the VMEM traffic of the lerp
     # chain; only meaningful for bf16 runs — f32 runs are unchanged)
     import os
+    # tile-size A/B knob for the non-paired stages (the `cx > 384 → T=8`
+    # cap in _pick_tile was calibrated on the NON-lowres kernel's f32
+    # lerp windows)
+    _tenv = int(os.environ.get("TPU_UNET_DEC_T", "0"))
+    if _tenv and not paired and H2 % _tenv == 0 and _tenv % 2 == 0 \
+            and _tenv >= 8:
+        T = _tenv
+        E = T + 4
+        win = T // 2 + 4
     lerp_dt = dt if os.environ.get("TPU_UNET_LERP_BF16") == "1" \
         else jnp.float32
     # even/odd-split H-lerp for the lowres kernels (fewer VPU passes:
